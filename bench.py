@@ -1,0 +1,104 @@
+"""Benchmark harness: NEXMark q4 (join + two-level agg) rows/s on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference repo publishes no result tables (BASELINE.md); the
+only quantitative run it pins is the README q5 demo — a 128 MB Lambda source
+function sustaining ~8,490 events/s (10k events in 1,177.85 ms billed).
+``vs_baseline`` is engine rows/s-per-chip over that per-function events/s.
+
+Usage: python bench.py [--seconds N] [--eps N] [--query N] [--all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+REFERENCE_EVENTS_PER_SEC = 10_000 / 1.17785  # README q5 demo REPORT line
+
+
+def bench_query(qnum: int, seconds: int, eps: int, repeats: int = 3):
+    import jax
+
+    from flock_tpu.queries.nexmark import get_query
+    from flock_tpu.runtime.executor import LocalExecutor
+    from flock_tpu.runtime.stream import StreamDriver, generate_epochs
+
+    spec = get_query(qnum)
+    gen_t0 = time.perf_counter()
+    epochs = generate_epochs(seconds, eps)
+    gen_dt = time.perf_counter() - gen_t0
+
+    driver = StreamDriver(spec, seconds)
+    # build window tables once (host-side slicing excluded from device timing)
+    ranges = driver._window_epoch_ranges()
+    from flock_tpu.runtime.tables import concat_relations, default_side_input
+
+    windows = []
+    for tag, rng in ranges:
+        tables = dict(concat_relations([epochs[t] for t in rng if t < seconds],
+                                       spec.relations))
+        if "side_input" in spec.relations:
+            tables["side_input"] = default_side_input()
+        windows.append(tables)
+
+    executor = LocalExecutor(spec)
+    caps = driver._fixed_caps([(None, t) for t in windows],
+                              list(spec.relations))
+
+    # warm-up (compile)
+    out = executor.execute_window(windows[0], caps)
+    jax.block_until_ready(out.valid)
+
+    rows_in = sum(
+        len(next(iter(t[r].values())))
+        for t in windows for r in spec.relations if r in t and t[r])
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        outs = [executor.execute_window(t, caps) for t in windows]
+        jax.block_until_ready([o.valid for o in outs])
+        best = min(best, time.perf_counter() - t0)
+
+    return {
+        "query": qnum,
+        "rows_in": rows_in,
+        "device_time_s": best,
+        "rows_per_s": rows_in / best,
+        "gen_time_s": gen_dt,
+        "windows": len(windows),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=int, default=4)
+    ap.add_argument("--eps", type=int, default=1_000_000)
+    ap.add_argument("--query", type=int, default=4)
+    ap.add_argument("--all", action="store_true",
+                    help="also print per-query results for q0..q9 to stderr")
+    args = ap.parse_args()
+
+    if args.all:
+        for q in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9):
+            try:
+                r = bench_query(q, args.seconds, args.eps)
+                print(json.dumps(r), file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"q{q} failed: {e}", file=sys.stderr)
+
+    r = bench_query(args.query, args.seconds, args.eps)
+    print(json.dumps({
+        "metric": f"nexmark_q{args.query}_rows_per_s_per_chip",
+        "value": round(r["rows_per_s"], 1),
+        "unit": "rows/s",
+        "vs_baseline": round(r["rows_per_s"] / REFERENCE_EVENTS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

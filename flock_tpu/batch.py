@@ -1,0 +1,149 @@
+"""Columnar batch: the TPU-native replacement for Arrow ``RecordBatch``.
+
+Reference counterpart: Flock's data plane carries Arrow RecordBatches with
+variable row counts (flock/src/runtime/payload.rs).  XLA wants static shapes,
+so a :class:`Batch` is a *fixed-capacity* struct-of-arrays:
+
+* ``columns``: dict name → jnp array of shape ``[capacity]`` (row-aligned),
+* ``valid``: bool[capacity] — the validity mask; padding rows are invalid,
+* capacity is static (part of the jit specialization), the live row count is
+  ``valid.sum()`` (a traced value).
+
+Operators are *masked*: filters only clear validity bits; compaction is an
+explicit op used where densification pays (before windows merge / shuffle).
+
+Dtype policy (TPU-first, keeps x64 disabled):
+* ids/prices/codes: int32,
+* timestamps: int32 **milliseconds since the stream base time** (reference
+  BASE_TIME); absolute ms-since-epoch would need int64, which TPUs emulate.
+  Sinks re-add the base when materializing (see ``TS_BASE``).
+* money math: float32 on device; sinks recompute exact f64 from the carried
+  int cents where parity output requires it (e.g. q1's 0.908*price).
+
+Vocabulary string columns (person name/city/state, YSB ad/event types) are
+dictionary codes (int32) with the vocab held host-side in ``Schema``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flock_tpu.datagen.nexmark import BASE_TIME
+
+TS_BASE = BASE_TIME  # sinks add this back to int32 relative-ms timestamps
+
+
+def round_up(n: int, m: int = 128) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Batch:
+    """Fixed-capacity columnar batch with validity mask."""
+
+    columns: dict[str, jax.Array]
+    valid: jax.Array  # bool[capacity]
+
+    # -- pytree ---------------------------------------------------------------
+    def tree_flatten(self):
+        names = tuple(sorted(self.columns))
+        return tuple(self.columns[n] for n in names) + (self.valid,), names
+
+    @classmethod
+    def tree_unflatten(cls, names, children):
+        return cls(columns=dict(zip(names, children[:-1])), valid=children[-1])
+
+    # -- construction ---------------------------------------------------------
+    @classmethod
+    def from_numpy(cls, cols: Mapping[str, np.ndarray], capacity: int | None = None,
+                   rebase_ts: bool = True) -> "Batch":
+        """Pad host columns to ``capacity`` rows; int64 ms timestamps are
+        rebased to int32 relative ms."""
+        n = len(next(iter(cols.values()))) if cols else 0
+        if capacity is None:
+            capacity = max(round_up(n), 128)
+        if n > capacity:
+            raise ValueError(f"{n} rows exceed capacity {capacity}")
+        out = {}
+        for name, arr in cols.items():
+            arr = np.asarray(arr)
+            if arr.dtype == np.int64:
+                # absolute ms-since-epoch timestamps rebase to relative int32;
+                # int64 columns already in small ranges just narrow
+                if rebase_ts and arr.size and int(arr.min()) >= TS_BASE:
+                    arr = (arr - TS_BASE).astype(np.int32)
+                else:
+                    arr = arr.astype(np.int32)
+            pad = np.zeros(capacity - n, dtype=arr.dtype)
+            out[name] = jnp.asarray(np.concatenate([arr, pad]))
+        valid = np.zeros(capacity, dtype=bool)
+        valid[:n] = True
+        return cls(columns=out, valid=jnp.asarray(valid))
+
+    @classmethod
+    def empty_like(cls, proto: "Batch") -> "Batch":
+        return cls(
+            columns={k: jnp.zeros_like(v) for k, v in proto.columns.items()},
+            valid=jnp.zeros_like(proto.valid),
+        )
+
+    # -- introspection --------------------------------------------------------
+    @property
+    def capacity(self) -> int:
+        return self.valid.shape[0]
+
+    def num_valid(self) -> jax.Array:
+        return jnp.sum(self.valid)
+
+    def __getitem__(self, name: str) -> jax.Array:
+        return self.columns[name]
+
+    def replace(self, **cols) -> "Batch":
+        new = dict(self.columns)
+        new.update(cols)
+        return Batch(columns=new, valid=self.valid)
+
+    def with_valid(self, valid: jax.Array) -> "Batch":
+        return Batch(columns=self.columns, valid=valid)
+
+    def select(self, names) -> "Batch":
+        return Batch(columns={n: self.columns[n] for n in names}, valid=self.valid)
+
+    # -- host materialization -------------------------------------------------
+    def to_numpy(self, restore_ts: tuple[str, ...] = ()) -> dict[str, np.ndarray]:
+        """Compact to live rows on host; named int32 ts columns are restored
+        to absolute int64 ms."""
+        valid = np.asarray(self.valid)
+        out = {}
+        for name, arr in self.columns.items():
+            h = np.asarray(arr)[valid]
+            if name in restore_ts:
+                h = h.astype(np.int64) + TS_BASE
+            out[name] = h
+        return out
+
+
+@dataclass
+class Schema:
+    """Host-side metadata: column order, dictionaries, timestamp columns."""
+
+    names: list[str]
+    dictionaries: dict[str, list[str]] = field(default_factory=dict)
+    timestamp_cols: tuple[str, ...] = ()
+
+    def decode(self, cols: dict[str, np.ndarray]) -> dict[str, Any]:
+        out = {}
+        for n in self.names:
+            v = cols[n]
+            if n in self.dictionaries:
+                vocab = np.asarray(self.dictionaries[n], dtype=object)
+                out[n] = vocab[v]
+            else:
+                out[n] = v
+        return out

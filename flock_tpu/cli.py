@@ -1,0 +1,137 @@
+"""Command-line driver — the flock-cli analogue.
+
+Reference: flock-cli/src/{main,nexmark,ysb}.rs (clap REPL running
+``nexmark run -q N -s S -e E -g G``).  Subcommands:
+
+  nexmark run  -q N [-s SECONDS] [-e EVENTS_PER_SEC] [-g GENERATORS]
+               [--distributed] [--shards N] [--show N]
+  ysb run      [-s SECONDS] [-e EVENTS_PER_SEC] [-g GENERATORS]
+  bench        [--query N] [--seconds N] [--eps N]
+
+Outputs per-window row counts and (with --show) decoded result rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _print_window(tag, cols, schema, show: int):
+    n = len(next(iter(cols.values()))) if cols else 0
+    print(f"window {tag}: {n} rows")
+    if show and n:
+        decoded = schema.decode(cols)
+        names = schema.names
+        head = {k: decoded[k][:show] for k in names}
+        for i in range(min(show, n)):
+            print("  ", {k: head[k][i] for k in names})
+
+
+def cmd_nexmark(args) -> int:
+    from flock_tpu.queries.nexmark import get_query
+    from flock_tpu.runtime.stream import run_nexmark
+
+    t0 = time.perf_counter()
+    spec = get_query(args.query)
+    if args.distributed:
+        from flock_tpu.parallel.executor import DistributedExecutor
+        from flock_tpu.runtime.executor import materialize_columns
+        from flock_tpu.runtime.stream import generate_epoch_parts
+        from flock_tpu.runtime.tables import concat_relations, default_side_input
+
+        parts = generate_epoch_parts(args.seconds, args.eps, args.generators)
+        ex = DistributedExecutor(spec, args.shards)
+        # one window over the whole run (windowed drivers are single-device
+        # for now; the SPMD path parallelizes within a window)
+        shards = [[] for _ in range(args.shards)]
+        for t in range(args.seconds):
+            for p, part in enumerate(parts[t]):
+                shards[p % args.shards].append(part)
+        rels = tuple(r for r in spec.relations if r != "side_input")
+        shard_tables = []
+        for i, ps in enumerate(shards):
+            tb = dict(concat_relations(ps, rels))
+            if "side_input" in spec.relations:
+                si = default_side_input()
+                tb["side_input"] = si if i == 0 else \
+                    {k: v[:0] for k, v in si.items()}
+            shard_tables.append(tb)
+        out = materialize_columns(spec, ex.execute_window(shard_tables))
+        _print_window(("all",), out, spec.schema, args.show)
+    else:
+        results = run_nexmark(args.query, args.seconds, args.eps,
+                              args.generators)
+        total = 0
+        for r in results:
+            total += len(next(iter(r.columns.values()))) if r.columns else 0
+            _print_window(r.tag, r.columns, spec.schema, args.show)
+        print(f"q{args.query}: {len(results)} windows, {total} output rows")
+    print(f"elapsed: {time.perf_counter() - t0:.2f}s")
+    return 0
+
+
+def cmd_ysb(args) -> int:
+    from flock_tpu.datagen.ysb import YsbConfig
+    from flock_tpu.queries.ysb import run_ysb, ysb_query
+
+    t0 = time.perf_counter()
+    cfg = YsbConfig(seconds=args.seconds, events_per_second=args.eps,
+                    threads=args.generators)
+    results = run_ysb(cfg)
+    spec = ysb_query()
+    for r in results:
+        _print_window(r.tag, r.columns, spec.schema, args.show)
+    print(f"ysb: {len(results)} windows; elapsed {time.perf_counter()-t0:.2f}s")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench  # repo-root harness
+
+    sys.argv = ["bench.py", "--query", str(args.query),
+                "--seconds", str(args.seconds), "--eps", str(args.eps)]
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="flock-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    nm = sub.add_parser("nexmark")
+    nm_sub = nm.add_subparsers(dest="sub", required=True)
+    nr = nm_sub.add_parser("run")
+    nr.add_argument("-q", "--query", type=int, required=True)
+    nr.add_argument("-s", "--seconds", type=int, default=4)
+    nr.add_argument("-e", "--eps", type=int, default=10_000)
+    nr.add_argument("-g", "--generators", type=int, default=1)
+    nr.add_argument("--distributed", action="store_true")
+    nr.add_argument("--shards", type=int, default=8)
+    nr.add_argument("--show", type=int, default=0)
+    nr.set_defaults(fn=cmd_nexmark)
+
+    yb = sub.add_parser("ysb")
+    yb_sub = yb.add_subparsers(dest="sub", required=True)
+    yr = yb_sub.add_parser("run")
+    yr.add_argument("-s", "--seconds", type=int, default=20)
+    yr.add_argument("-e", "--eps", type=int, default=10_000)
+    yr.add_argument("-g", "--generators", type=int, default=1)
+    yr.add_argument("--show", type=int, default=0)
+    yr.set_defaults(fn=cmd_ysb)
+
+    be = sub.add_parser("bench")
+    be.add_argument("--query", type=int, default=4)
+    be.add_argument("--seconds", type=int, default=4)
+    be.add_argument("--eps", type=int, default=1_000_000)
+    be.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

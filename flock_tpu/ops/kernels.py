@@ -1,0 +1,198 @@
+"""Core masked-columnar operator kernels (single device, XLA-first).
+
+These are the TPU-native equivalents of the vectorized operator set Flock
+inherits from DataFusion/Arrow (filter, projection, hash aggregate, hash join,
+sort, window-rank, repartition/coalesce — SURVEY.md §2 "native components").
+
+Design rules (see batch.py):
+* every kernel is fixed-shape: inputs/outputs are [capacity] arrays + validity
+  masks; live row counts are traced scalars;
+* kernels that can overflow a static output capacity return an ``overflow``
+  flag the host can check (the analogue of Flock's payload-size guards);
+* the XLA baselines here are sort/scan/scatter based — deterministic and
+  shape-static.  Pallas kernels (flock_tpu/pallas/) override the hot paths.
+
+All joins in the NEXMark/YSB suite are N-to-1 lookups into a unique-key build
+side (auction ids, person ids, campaign ids, side-input keys are unique —
+verified against reference generator semantics), so the join kernel is
+``lookup_join``: build a sorted index, binary-search probes.  Aggregations are
+sort+segment based: deterministic and skew-proof (hot keys collapse into one
+segment).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+I32_MAX = jnp.int32(2**31 - 1)
+
+
+def _shift_ne(k: jax.Array) -> jax.Array:
+    """True where row differs from previous row (row 0 → True)."""
+    return jnp.concatenate([jnp.ones((1,), bool), k[1:] != k[:-1]])
+
+
+def sort_rows(cols: dict[str, jax.Array], valid: jax.Array, keys: list[str],
+              descending: tuple[bool, ...] | None = None):
+    """Stable multi-key sort; invalid rows sort last.  Returns (cols, valid)."""
+    descending = descending or (False,) * len(keys)
+    key_arrays = [~valid]
+    for k, d in zip(keys, descending):
+        arr = cols[k]
+        key_arrays.append(-arr if d else arr)
+    names = list(cols)
+    operands = tuple(key_arrays) + tuple(cols[n] for n in names) + (valid,)
+    out = lax.sort(operands, num_keys=len(key_arrays), is_stable=True)
+    out_cols = dict(zip(names, out[len(key_arrays):-1]))
+    return out_cols, out[-1]
+
+
+def compact(cols: dict[str, jax.Array], valid: jax.Array, out_capacity: int):
+    """Scatter live rows to the front of a fresh [out_capacity] buffer.
+
+    Returns (cols, valid, overflow).  The reference analogue is
+    CoalesceBatchesExec (flock/src/transmute.rs:38-72).
+    """
+    n_in = valid.shape[0]
+    pos = jnp.cumsum(valid) - 1
+    pos = jnp.where(valid, pos, out_capacity)  # invalid → dropped
+    out = {}
+    for name, arr in cols.items():
+        out[name] = jnp.zeros((out_capacity,), arr.dtype).at[pos].set(
+            arr, mode="drop")
+    n = jnp.sum(valid)
+    out_valid = jnp.arange(out_capacity) < jnp.minimum(n, out_capacity)
+    return out, out_valid, n > out_capacity
+
+
+def group_aggregate(
+    cols: dict[str, jax.Array],
+    valid: jax.Array,
+    group_keys: list[str],
+    aggs: list[tuple[str, str, str]],  # (in_col, fn, out_name); fn ∈ sum/count/min/max
+    out_capacity: int,
+):
+    """Sort-based grouped aggregation (deterministic, skew-proof).
+
+    Output rows are sorted by group key (one row per distinct key), padded to
+    ``out_capacity``.  Returns (out_cols, out_valid, overflow).  ``count``
+    ignores in_col.  ``avg`` is expressed by callers as sum+count (two-phase
+    friendly, like DataFusion's partial/final HashAggregate split that Flock
+    shuffles between stages, stage.rs:269-367).
+    """
+    needed = list(dict.fromkeys(
+        group_keys + [c for c, f, _ in aggs if f != "count" and c is not None]))
+    sub = {k: cols[k] for k in needed}
+    if group_keys:
+        scols, svalid = sort_rows(sub, valid, group_keys)
+        boundary = reduce(jnp.logical_or,
+                          [_shift_ne(scols[k]) for k in group_keys])
+        boundary = boundary & svalid
+    else:
+        # global aggregate: one segment spanning every live row
+        scols, svalid = sub, valid
+        boundary = svalid & (jnp.cumsum(svalid) == 1)
+    seg = jnp.cumsum(boundary) - 1            # segment id per row (valid rows)
+    seg = jnp.where(svalid, seg, out_capacity)  # invalid → dropped by scatter
+    n_seg = jnp.sum(boundary)
+
+    out: dict[str, jax.Array] = {}
+    for k in group_keys:
+        out[k] = jnp.zeros((out_capacity,), scols[k].dtype).at[seg].set(
+            scols[k], mode="drop")
+    for in_col, fn, out_name in aggs:
+        if fn == "count":
+            ones = jnp.ones_like(svalid, dtype=jnp.int32)
+            out[out_name] = jnp.zeros((out_capacity,), jnp.int32).at[seg].add(
+                ones, mode="drop")
+        elif fn == "sum":
+            # Integer sums accumulate in int64 (TPU emulates i64 as i32 pairs;
+            # the exactness matters for AVG parity — f64 division happens at
+            # the sink from the exact integer sum).
+            v = scols[in_col]
+            acc_dtype = jnp.float32 if jnp.issubdtype(v.dtype, jnp.floating) else jnp.int64
+            out[out_name] = jnp.zeros((out_capacity,), acc_dtype).at[seg].add(
+                v.astype(acc_dtype), mode="drop")
+        elif fn == "min":
+            v = scols[in_col]
+            init = jnp.full((out_capacity,), jnp.iinfo(v.dtype).max, v.dtype)
+            out[out_name] = init.at[seg].min(v, mode="drop")
+        elif fn == "max":
+            v = scols[in_col]
+            init = jnp.full((out_capacity,), jnp.iinfo(v.dtype).min, v.dtype)
+            out[out_name] = init.at[seg].max(v, mode="drop")
+        else:
+            raise ValueError(fn)
+    out_valid = jnp.arange(out_capacity) < jnp.minimum(n_seg, out_capacity)
+    return out, out_valid, n_seg > out_capacity
+
+
+def build_lookup(build_cols: dict[str, jax.Array], build_valid: jax.Array,
+                 key: str):
+    """Sort the build side by key for binary-search probing.
+
+    Invalid rows get the I32_MAX sentinel so they sort past any live key.
+    Returns (sorted_key, sorted_cols, sorted_valid).
+    """
+    k = jnp.where(build_valid, build_cols[key], I32_MAX)
+    names = list(build_cols)
+    operands = (k,) + tuple(build_cols[n] for n in names) + (build_valid,)
+    out = lax.sort(operands, num_keys=1, is_stable=True)
+    return out[0], dict(zip(names, out[1:-1])), out[-1]
+
+
+def lookup_join(
+    build_cols: dict[str, jax.Array],
+    build_valid: jax.Array,
+    build_key: str,
+    probe_cols: dict[str, jax.Array],
+    probe_valid: jax.Array,
+    probe_key: str,
+    take: dict[str, str],  # build col → output name
+):
+    """N-to-1 inner join: probe rows keep their slots; matched build columns
+    are gathered alongside.  Unmatched probe rows become invalid.
+
+    Requires unique keys on the live build rows (true for every join in the
+    NEXMark/YSB suite; see module docstring).  Returns (out_cols, out_valid).
+    """
+    bk, bcols, bvalid = build_lookup(build_cols, build_valid, build_key)
+    pk = probe_cols[probe_key]
+    idx = jnp.searchsorted(bk, pk)
+    idx = jnp.minimum(idx, bk.shape[0] - 1)
+    hit = (bk[idx] == pk) & bvalid[idx] & probe_valid
+    out = dict(probe_cols)
+    for src, dst in take.items():
+        out[dst] = bcols[src][idx]
+    return out, hit
+
+
+def rank_in_group(cols: dict[str, jax.Array], valid: jax.Array,
+                  group_key: str, order_col: str, descending: bool,
+                  rank_name: str, tiebreak: str | None = None):
+    """ROW_NUMBER() OVER (PARTITION BY group_key ORDER BY order_col) — 1-based.
+
+    Sorts rows by (group, order) and emits the rank column; output stays
+    sorted.  Returns (cols, valid) with ``rank_name`` added.
+    """
+    keys = [group_key, order_col] + ([tiebreak] if tiebreak else [])
+    desc = (False, descending) + ((False,) if tiebreak else ())
+    scols, svalid = sort_rows(cols, valid, keys, desc)
+    n = svalid.shape[0]
+    boundary = _shift_ne(scols[group_key]) & svalid
+    idx = jnp.arange(n, dtype=jnp.int32)
+    start = jnp.where(boundary, idx, 0)
+    start = lax.cummax(start)                   # segment start index per row
+    scols = dict(scols)
+    scols[rank_name] = idx - start + 1
+    return scols, svalid
+
+
+def distinct(cols: dict[str, jax.Array], valid: jax.Array,
+             keys: list[str], out_capacity: int):
+    """SELECT DISTINCT keys (a GROUP BY with no aggregates)."""
+    return group_aggregate(cols, valid, keys, [], out_capacity)

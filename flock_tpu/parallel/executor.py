@@ -1,0 +1,215 @@
+"""SPMD distributed executor: one jitted program over a device mesh.
+
+Reference counterpart: Flock's distributed mode — a DAG of query stages, each
+deployed as N Lambda instances exchanging payloads (flock/src/distributed_plan/,
+flock-function/src/aws/actor.rs:425-543).  Under SPMD the whole staged DAG
+compiles into ONE XLA program per window: stage boundaries become collectives
+(all_to_all for hash shuffles, all_gather for broadcast joins) riding ICI, and
+"instances" are mesh shards.
+
+Lowering rules (the DistributedPlanner analogue, planner.rs:26-59):
+* Scan/Filter/Project/Compact — purely local;
+* Aggregate(single) — local *partial* agg → all_to_all by hash(group keys) →
+  local *final* agg (two-phase split exactly where Flock chops stages);
+* Join — broadcast the (small, unique-key) build side via all_gather, probe
+  locally (skew-immune: the probe side never moves);
+* Rank — all_to_all by partition key, then local rank.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from flock_tpu.batch import round_up
+from flock_tpu.ops import kernels
+from flock_tpu.parallel.mesh import AXIS, make_mesh
+from flock_tpu.parallel.shuffle import all_to_all_shuffle, broadcast_gather
+from flock_tpu.plan import (
+    Aggregate,
+    Compact,
+    Filter,
+    Join,
+    Node,
+    Project,
+    Rank,
+    Scan,
+)
+from flock_tpu.queries.nexmark import QuerySpec
+from flock_tpu.runtime.executor import OverflowError
+
+
+@dataclass
+class _Ctx:
+    n_shards: int
+    agg_capacity: int
+    axis: str = AXIS
+
+
+def _final_aggs(aggs):
+    return tuple((out, {"count": "sum"}.get(fn, fn), out) for (_, fn, out) in aggs)
+
+
+def lower_dist(node: Node, tables: dict, ctx: _Ctx):
+    """Lower a plan node to (cols, valid, overflow) on the local shard."""
+    if isinstance(node, Scan):
+        cols, valid = tables[node.relation]
+        return dict(cols), valid, jnp.asarray(False)
+
+    if isinstance(node, Filter):
+        cols, valid, ovf = lower_dist(node.child, tables, ctx)
+        return cols, valid & node.pred(cols), ovf
+
+    if isinstance(node, Project):
+        cols, valid, ovf = lower_dist(node.child, tables, ctx)
+        out = {}
+        for name, e in node.exprs:
+            out[name] = cols[e] if isinstance(e, str) else e(cols)
+        return out, valid, ovf
+
+    if isinstance(node, Aggregate):
+        cols, valid, ovf = lower_dist(node.child, tables, ctx)
+        cap = node.out_capacity or ctx.agg_capacity
+        keys = list(node.group_keys)
+        # partial (local)
+        pcols, pvalid, o1 = kernels.group_aggregate(
+            cols, valid, keys, list(node.aggs), cap)
+        # shuffle partials by key hash
+        scols, svalid, o2 = all_to_all_shuffle(
+            pcols, pvalid, keys, ctx.n_shards, per_dest_cap=cap, axis=ctx.axis)
+        # final (local)
+        fcols, fvalid, o3 = kernels.group_aggregate(
+            scols, svalid, keys, list(_final_aggs(node.aggs)), cap)
+        return fcols, fvalid, ovf | o1 | o2 | o3
+
+    if isinstance(node, Join):
+        bcols, bvalid, o1 = lower_dist(node.build, tables, ctx)
+        gcols, gvalid = broadcast_gather(bcols, bvalid, ctx.axis)
+        pcols, pvalid, o2 = lower_dist(node.probe, tables, ctx)
+        cols, valid = kernels.lookup_join(
+            gcols, gvalid, node.build_key, pcols, pvalid, node.probe_key,
+            dict(node.take))
+        if node.post_filter is not None:
+            valid = valid & node.post_filter(cols)
+        return cols, valid, o1 | o2
+
+    if isinstance(node, Rank):
+        cols, valid, ovf = lower_dist(node.child, tables, ctx)
+        scols, svalid, o2 = all_to_all_shuffle(
+            cols, valid, [node.group_key], ctx.n_shards,
+            per_dest_cap=valid.shape[0], axis=ctx.axis)
+        rcols, rvalid = kernels.rank_in_group(
+            scols, svalid, node.group_key, node.order_col, node.descending,
+            node.rank_name, node.tiebreak)
+        return rcols, rvalid, ovf | o2
+
+    if isinstance(node, Compact):
+        cols, valid, ovf = lower_dist(node.child, tables, ctx)
+        cols, valid, o2 = kernels.compact(cols, valid, node.out_capacity)
+        return cols, valid, ovf | o2
+
+    raise TypeError(f"unsupported distributed node {type(node)}")
+
+
+@dataclass
+class DistributedExecutor:
+    """Executes a QuerySpec plan SPMD over an n-shard mesh."""
+
+    spec: QuerySpec
+    n_shards: int
+    mesh: object = None
+    agg_capacity: int | None = None
+    _compiled: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.mesh is None:
+            self.mesh = make_mesh(self.n_shards)
+
+    def _fn(self, cap_sig: tuple, agg_cap: int, col_names: tuple):
+        key = (cap_sig, agg_cap, col_names)
+        if key in self._compiled:
+            return self._compiled[key]
+
+        spec_plan = self.spec.plan
+        ctx = _Ctx(self.n_shards, agg_cap)
+
+        def local_fn(*flat):
+            # flat: per relation, per column array [1, cap] + valid [1, cap]
+            tables = {}
+            i = 0
+            for rel, names, _cap in col_names:
+                cols = {n: flat[i + j][0] for j, n in enumerate(names)}
+                i += len(names)
+                tables[rel] = (cols, flat[i][0])
+                i += 1
+            cols, valid, ovf = lower_dist(spec_plan, tables, ctx)
+            out_names = tuple(sorted(cols))
+            return (tuple(cols[n][None] for n in out_names)
+                    + (valid[None], ovf.reshape(1, 1)), out_names)
+
+        # resolve output names once via eval_shape-free trick: run lazily
+        out_names_box = {}
+
+        def wrapper(*flat):
+            outs, names = local_fn(*flat)
+            out_names_box["names"] = names
+            return outs
+
+        n_in = sum(len(names) + 1 for _, names, _ in col_names)
+        fm = jax.jit(jax.shard_map(
+            wrapper, mesh=self.mesh,
+            in_specs=tuple([P(AXIS, None)] * n_in),
+            out_specs=P(AXIS, None),
+        ))
+        self._compiled[key] = (fm, out_names_box)
+        return self._compiled[key]
+
+    def execute_window(self, shard_tables: list[dict[str, dict[str, np.ndarray]]],
+                       capacities: dict[str, int] | None = None):
+        """Run one window.  ``shard_tables[i]`` holds shard i's host columns
+        per relation.  Returns materialized host columns (all shards merged).
+        """
+        n = self.n_shards
+        assert len(shard_tables) == n
+        rels = sorted({r for st in shard_tables for r in st})
+        capacities = capacities or {}
+
+        col_names = []
+        flat_inputs = []
+        cap_sig = []
+        from flock_tpu.batch import Batch
+        for rel in rels:
+            names = sorted({c for st in shard_tables for c in st.get(rel, {})})
+            m = max((len(next(iter(st[rel].values()))) for st in shard_tables
+                     if rel in st and st[rel]), default=1)
+            cap = capacities.get(rel) or max(round_up(max(m, 1)), 128)
+            cap_sig.append((rel, cap))
+            stacked = {nm: [] for nm in names}
+            valids = []
+            for st in shard_tables:
+                cols = st.get(rel, {nm: np.array([], np.int64) for nm in names})
+                b = Batch.from_numpy({nm: cols[nm] for nm in names}, cap)
+                for nm in names:
+                    stacked[nm].append(np.asarray(b.columns[nm]))
+                valids.append(np.asarray(b.valid))
+            col_names.append((rel, tuple(names), cap))
+            for nm in names:
+                flat_inputs.append(np.stack(stacked[nm]))
+            flat_inputs.append(np.stack(valids))
+
+        agg_cap = self.agg_capacity or max(c for _, c in cap_sig)
+        fm, names_box = self._fn(tuple(cap_sig), agg_cap, tuple(col_names))
+        outs = fm(*flat_inputs)
+        out_names = names_box["names"]
+        *col_arrays, valid, ovf = outs
+        if bool(np.asarray(ovf).any()):
+            raise OverflowError(f"q{self.spec.number} distributed overflow")
+        valid = np.asarray(valid).reshape(-1)
+        host = {}
+        for nm, arr in zip(out_names, col_arrays):
+            host[nm] = np.asarray(arr).reshape(valid.shape[0], *np.asarray(arr).shape[2:])[valid]
+        return host

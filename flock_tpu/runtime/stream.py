@@ -1,0 +1,231 @@
+"""Stream driver: micro-batch loop + window state machine.
+
+Reference counterpart: the window drivers running inside Flock's data-source
+function (flock-function/src/aws/window/{elementwise,tumbling,hopping,session,
+global}.rs).  Host-side bookkeeping decides *which rows form a window* (the
+data-dependent part); the device executes the per-window plan (the compute).
+
+Window semantics mirrored from the reference:
+* element-wise — one invocation per epoch (elementwise.rs),
+* tumbling(w) — complete windows [k*w, k*w+w) only (tumbling.rs:55-63),
+* hopping(w, h) — windows [t, t+w) for t = 0, h, 2h, … while t+w ≤ seconds
+  (hopping.rs:54-60),
+* session(gap) — per-bidder sessions; a new fragment more than ``gap`` seconds
+  (second-truncated) after the session's last row closes it; idle sessions
+  time out as epochs advance (session.rs:64-178); remaining sessions flush at
+  stream end (bounded-run semantics),
+* global/processing-time(w) — tumbling on *processing* time per key
+  (global.rs); processing time is deterministic here: the arrival epoch in
+  logical ms (the reference stamps wall-clock now(), nondeterministic by
+  construction).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass
+
+import numpy as np
+
+from flock_tpu.batch import round_up
+from flock_tpu.datagen.nexmark import NexmarkConfig
+from flock_tpu.queries.nexmark import QuerySpec, get_query
+from flock_tpu.runtime.executor import LocalExecutor
+from flock_tpu.runtime.tables import (
+    concat_relations,
+    default_side_input,
+    epoch_to_relations,
+)
+
+
+def generate_epoch_parts(seconds: int, events_per_second: int,
+                         generators: int = 1) -> list[list[dict]]:
+    """Per-epoch, per-generator-partition relation tables (unmerged) — the
+    unit of data parallelism for the distributed executor."""
+    from flock_tpu.datagen.native_gen import nexmark_generate_partition
+
+    cfg = NexmarkConfig(events_per_second=events_per_second,
+                        num_event_generators=generators)
+    parts: list[list[dict]] = [[] for _ in range(seconds)]
+    for p in range(generators):
+        for e in nexmark_generate_partition(cfg, seconds, p):
+            if e.epoch < seconds:
+                parts[e.epoch].append(epoch_to_relations(e))
+    return parts
+
+
+def generate_epochs(seconds: int, events_per_second: int, generators: int = 1
+                    ) -> list[dict]:
+    """Generate and merge all generator partitions into per-epoch relation
+    tables (the arena-reassembly analogue: fragments of one window always meet
+    in one place, flock/src/runtime/arena/mod.rs)."""
+    from flock_tpu.datagen.native_gen import nexmark_generate_partition
+
+    cfg = NexmarkConfig(events_per_second=events_per_second,
+                        num_event_generators=generators)
+    per_epoch: dict[int, list] = defaultdict(list)
+    for p in range(generators):
+        for e in nexmark_generate_partition(cfg, seconds, p):
+            per_epoch[e.epoch].append(epoch_to_relations(e))
+    epochs = []
+    for t in range(seconds):
+        parts = per_epoch.get(t, [])
+        epochs.append(concat_relations(parts, ("person", "auction", "bid")))
+    return epochs
+
+
+@dataclass
+class WindowResult:
+    tag: tuple          # window identifier, e.g. ("epoch", 3) / ("win", 0, 10)
+    columns: dict       # materialized output columns (schema order)
+
+
+class StreamDriver:
+    def __init__(self, spec: QuerySpec, seconds: int,
+                 side_input: dict | None = None,
+                 agg_capacity: int | None = None):
+        self.spec = spec
+        self.seconds = seconds
+        self.side_input = side_input
+        self.executor = LocalExecutor(spec, agg_capacity)
+
+    # -- window slicing -------------------------------------------------------
+
+    def _window_epoch_ranges(self):
+        kind = self.spec.window[0]
+        s = self.seconds
+        if kind == "elementwise":
+            return [(("epoch", t), [t]) for t in range(s)]
+        if kind == "tumbling":
+            w = self.spec.window[1]
+            return [(("win", k * w, k * w + w), list(range(k * w, k * w + w)))
+                    for k in range(s // w)]
+        if kind == "hopping":
+            w, h = self.spec.window[1], self.spec.window[2]
+            return [(("win", t, t + w), list(range(t, t + w)))
+                    for t in range(0, s, h) if t + w <= s]
+        raise ValueError(kind)
+
+    # -- execution ------------------------------------------------------------
+
+    def run(self, epochs: list[dict]) -> list[WindowResult]:
+        kind = self.spec.window[0]
+        if kind == "session":
+            return self._run_session(epochs)
+        if kind == "global":
+            return self._run_global(epochs)
+        return self._run_ranges(epochs)
+
+    def _fixed_caps(self, windows, relations) -> dict[str, int]:
+        caps = {}
+        for rel in relations:
+            m = 1
+            for _, tables in windows:
+                cols = tables.get(rel)
+                if cols:
+                    m = max(m, len(next(iter(cols.values()))))
+            caps[rel] = max(round_up(m), 128)
+        return caps
+
+    def _execute_all(self, windows) -> list[WindowResult]:
+        """Run every window with one capacity signature (one XLA compile)."""
+        caps = self._fixed_caps(windows, list({r for _, t in windows for r in t}))
+        out = []
+        for tag, tables in windows:
+            b = self.executor.execute_window(tables, caps)
+            out.append(WindowResult(tag, self.executor.materialize(b)))
+        return out
+
+    def _run_ranges(self, epochs) -> list[WindowResult]:
+        windows = []
+        for tag, rng in self._window_epoch_ranges():
+            parts = [epochs[t] for t in rng if t < len(epochs)]
+            tables = {rel: cols for rel, cols in
+                      concat_relations(parts, self.spec.relations).items()
+                      if rel in self.spec.relations}
+            if "side_input" in self.spec.relations:
+                tables["side_input"] = self.side_input or default_side_input()
+            windows.append((tag, tables))
+        return self._execute_all(windows)
+
+    # -- session windows (q11) ------------------------------------------------
+
+    def _run_session(self, epochs) -> list[WindowResult]:
+        gap = self.spec.window[1]
+        open_windows: dict[int, list[dict]] = {}   # bidder → fragments
+        emitted: list[tuple[tuple, list[dict]]] = []
+
+        def last_ts(frags):
+            return int(frags[-1]["b_date_time"][-1])
+
+        for t, tables in enumerate(epochs):
+            bids = tables["bid"]
+            if len(bids["bidder"]):
+                # per-bidder fragments, in bidder order (HashDiff analogue)
+                order = np.argsort(bids["bidder"], kind="stable")
+                sb = {k: v[order] for k, v in bids.items()}
+                uniq, starts = np.unique(sb["bidder"], return_index=True)
+                bounds = np.append(starts, len(sb["bidder"]))
+                for i, bidder in enumerate(uniq.tolist()):
+                    frag = {k: v[bounds[i]:bounds[i + 1]] for k, v in sb.items()}
+                    if bidder in open_windows:
+                        prev = open_windows[bidder]
+                        cur_s = int(frag["b_date_time"][0]) // 1000
+                        if cur_s - last_ts(prev) // 1000 > gap:
+                            emitted.append((("session", bidder, t), prev))
+                            open_windows[bidder] = [frag]
+                        else:
+                            prev.append(frag)
+                    else:
+                        open_windows[bidder] = [frag]
+            # timeout scan (session.rs:136-178): epoch time vs last row time
+            now_s = NexmarkConfig().base_time // 1000 + (t + 1)
+            for bidder in list(open_windows):
+                if now_s - last_ts(open_windows[bidder]) // 1000 > gap:
+                    emitted.append((("session", bidder, t),
+                                    open_windows.pop(bidder)))
+        for bidder, frags in open_windows.items():
+            emitted.append((("session", bidder, self.seconds), frags))
+
+        # Feed all closed sessions as one device batch with __session ids.
+        windows = []
+        if emitted:
+            cols = defaultdict(list)
+            for sid, (_, frags) in enumerate(emitted):
+                for f in frags:
+                    for k, v in f.items():
+                        cols[k].append(v)
+                    cols["__session"].append(
+                        np.full(len(f["bidder"]), sid, np.int32))
+            bid = {k: np.concatenate(v) for k, v in cols.items()}
+            windows.append((("sessions",), {"bid": bid}))
+        return self._execute_all(windows)
+
+    # -- processing-time windows (q12) ---------------------------------------
+
+    def _run_global(self, epochs) -> list[WindowResult]:
+        w = self.spec.window[1]
+        windows = []
+        for start in range(0, len(epochs), w):
+            chunk = epochs[start:start + w]
+            parts = []
+            for i, tables in enumerate(chunk):
+                bid = dict(tables["bid"])
+                bid["p_time"] = np.full(len(bid["bidder"]),
+                                        (start + i) * 1000, np.int32)
+                parts.append({"bid": bid})
+            cols = {k: np.concatenate([p["bid"][k] for p in parts])
+                    for k in parts[0]["bid"]} if parts else {}
+            windows.append((("ptime", start, start + w), {"bid": cols}))
+        return self._execute_all(windows)
+
+
+def run_nexmark(query: int, seconds: int = 2, events_per_second: int = 1000,
+                generators: int = 1, side_input: dict | None = None
+                ) -> list[WindowResult]:
+    """End-to-end: generate → window → execute → materialize (the
+    ``LocalLauncher`` benchmark path)."""
+    spec = get_query(query)
+    epochs = generate_epochs(seconds, events_per_second, generators)
+    driver = StreamDriver(spec, seconds, side_input=side_input)
+    return driver.run(epochs)
