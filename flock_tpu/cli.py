@@ -32,9 +32,15 @@ def _print_window(tag, cols, schema, show: int):
 
 
 def cmd_nexmark(args) -> int:
-    from flock_tpu.queries.nexmark import get_query
+    from flock_tpu.queries.nexmark import QUERIES, get_query
+    from flock_tpu.runtime.sink import make_sink
     from flock_tpu.runtime.stream import run_nexmark
 
+    if args.query not in QUERIES:
+        print(f"error: unknown query q{args.query} "
+              f"(available: {sorted(QUERIES)})", file=sys.stderr)
+        return 2
+    sink = make_sink(args.sink) if args.sink else None
     t0 = time.perf_counter()
     spec = get_query(args.query)
     if args.distributed:
@@ -69,7 +75,11 @@ def cmd_nexmark(args) -> int:
         for r in results:
             total += len(next(iter(r.columns.values()))) if r.columns else 0
             _print_window(r.tag, r.columns, spec.schema, args.show)
+            if sink:
+                sink.write(r.tag, r.columns, spec.schema)
         print(f"q{args.query}: {len(results)} windows, {total} output rows")
+        if sink:
+            print(f"sink[{args.sink}]: {sink.read()}")
     print(f"elapsed: {time.perf_counter() - t0:.2f}s")
     return 0
 
@@ -112,6 +122,8 @@ def main(argv=None) -> int:
     nr.add_argument("--distributed", action="store_true")
     nr.add_argument("--shards", type=int, default=8)
     nr.add_argument("--show", type=int, default=0)
+    nr.add_argument("--sink", choices=["blackhole", "memory", "file"],
+                    default=None)
     nr.set_defaults(fn=cmd_nexmark)
 
     yb = sub.add_parser("ysb")

@@ -14,10 +14,13 @@ Design rules (see batch.py):
 
 All joins in the NEXMark/YSB suite are N-to-1 lookups into a unique-key build
 side (auction ids, person ids, campaign ids, side-input keys are unique —
-verified against reference generator semantics), so the join kernel is
-``lookup_join``: build a sorted index, binary-search probes.  Aggregations are
-sort+segment based: deterministic and skew-proof (hot keys collapse into one
-segment).
+verified against reference generator semantics), and all group/join keys are
+*densely generated* integers.  The primary paths exploit that: ``lookup_join``
+direct-indexes a key-span array (one scatter + one gather, no sort/search) and
+``dense_group_aggregate`` scatter-adds into key-span slots — both pure
+HBM-bandwidth ops.  Sort-based fallbacks (``sorted_lookup_join``, the
+multi-key branch of ``group_aggregate``) cover general keys; both are
+deterministic and skew-proof (hot keys collapse into one slot/segment).
 """
 
 from __future__ import annotations
@@ -69,6 +72,76 @@ def compact(cols: dict[str, jax.Array], valid: jax.Array, out_capacity: int):
     return out, out_valid, n > out_capacity
 
 
+def _scatter_aggs(seg: jax.Array, svalid: jax.Array, scols: dict,
+                  aggs, out_capacity: int) -> dict[str, jax.Array]:
+    """Scatter-based aggregation into ``out_capacity`` segments.
+
+    ``seg`` must be ``out_capacity`` (dropped) for rows that contribute
+    nothing.  Integer sums accumulate in int64 (TPU emulates i64 as i32
+    pairs); exactness matters for AVG parity — the f64 division happens at
+    the sink from the exact integer sum.
+    """
+    out = {}
+    for in_col, fn, out_name in aggs:
+        if fn == "count":
+            ones = jnp.ones_like(svalid, dtype=jnp.int32)
+            out[out_name] = jnp.zeros((out_capacity,), jnp.int32).at[seg].add(
+                ones, mode="drop")
+        elif fn == "sum":
+            v = scols[in_col]
+            acc = jnp.float32 if jnp.issubdtype(v.dtype, jnp.floating) else jnp.int64
+            out[out_name] = jnp.zeros((out_capacity,), acc).at[seg].add(
+                v.astype(acc), mode="drop")
+        elif fn == "min":
+            v = scols[in_col]
+            init = jnp.full((out_capacity,), jnp.iinfo(v.dtype).max, v.dtype)
+            out[out_name] = init.at[seg].min(v, mode="drop")
+        elif fn == "max":
+            v = scols[in_col]
+            init = jnp.full((out_capacity,), jnp.iinfo(v.dtype).min, v.dtype)
+            out[out_name] = init.at[seg].max(v, mode="drop")
+        else:
+            raise ValueError(fn)
+    return out
+
+
+def dense_group_aggregate(
+    cols: dict[str, jax.Array],
+    valid: jax.Array,
+    key: str,
+    aggs: list[tuple[str, str, str]],
+    out_capacity: int,
+):
+    """Dense-key grouped aggregation: segment id = key − min(valid keys).
+
+    NEXMark/YSB group keys (auction/person/campaign/session ids) are generated
+    consecutively, so a window's key range fits a static span and aggregation
+    is pure scatter-add/min/max — no sort, HBM-bandwidth bound (the
+    TPU-idiomatic replacement for a hash-aggregate inner loop).  Rows whose
+    key falls outside ``out_capacity`` slots above the minimum raise the
+    overflow flag (the caller widens, exactly like Flock's payload guards).
+
+    Output slot i holds key ``min + i`` (gaps stay invalid).
+    """
+    k = cols[key]
+    m = jnp.min(jnp.where(valid, k, I32_MAX))
+    pos = (k - m).astype(jnp.int32)
+    in_range = valid & (pos >= 0) & (pos < out_capacity)
+    overflow = jnp.any(valid & ~in_range)
+    seg = jnp.where(in_range, pos, out_capacity)
+
+    out = _scatter_aggs(seg, valid, cols, list(aggs) or [(None, "count", "__c")],
+                        out_capacity)
+    counts = out.get("__c")
+    if counts is None:
+        ones = jnp.ones_like(valid, dtype=jnp.int32)
+        counts = jnp.zeros((out_capacity,), jnp.int32).at[seg].add(
+            ones, mode="drop")
+    out.pop("__c", None)
+    out[key] = m.astype(k.dtype) + jnp.arange(out_capacity, dtype=k.dtype)
+    return out, counts > 0, overflow
+
+
 def group_aggregate(
     cols: dict[str, jax.Array],
     valid: jax.Array,
@@ -76,14 +149,20 @@ def group_aggregate(
     aggs: list[tuple[str, str, str]],  # (in_col, fn, out_name); fn ∈ sum/count/min/max
     out_capacity: int,
 ):
-    """Sort-based grouped aggregation (deterministic, skew-proof).
+    """Grouped aggregation.  Single integer key → dense scatter path
+    (``dense_group_aggregate``); multi-key → sort-based fallback.
 
-    Output rows are sorted by group key (one row per distinct key), padded to
-    ``out_capacity``.  Returns (out_cols, out_valid, overflow).  ``count``
-    ignores in_col.  ``avg`` is expressed by callers as sum+count (two-phase
-    friendly, like DataFusion's partial/final HashAggregate split that Flock
-    shuffles between stages, stage.rs:269-367).
+    Sort-based output rows are sorted by group key (one row per distinct
+    key), padded to ``out_capacity``.  Returns (out_cols, out_valid,
+    overflow).  ``count`` ignores in_col.  ``avg`` is expressed by callers as
+    sum+count (two-phase friendly, like DataFusion's partial/final
+    HashAggregate split that Flock shuffles between stages,
+    stage.rs:269-367).
     """
+    if len(group_keys) == 1 and not jnp.issubdtype(
+            cols[group_keys[0]].dtype, jnp.floating):
+        return dense_group_aggregate(cols, valid, group_keys[0], aggs,
+                                     out_capacity)
     needed = list(dict.fromkeys(
         group_keys + [c for c, f, _ in aggs if f != "count" and c is not None]))
     sub = {k: cols[k] for k in needed}
@@ -145,7 +224,7 @@ def build_lookup(build_cols: dict[str, jax.Array], build_valid: jax.Array,
     return out[0], dict(zip(names, out[1:-1])), out[-1]
 
 
-def lookup_join(
+def sorted_lookup_join(
     build_cols: dict[str, jax.Array],
     build_valid: jax.Array,
     build_key: str,
@@ -154,12 +233,7 @@ def lookup_join(
     probe_key: str,
     take: dict[str, str],  # build col → output name
 ):
-    """N-to-1 inner join: probe rows keep their slots; matched build columns
-    are gathered alongside.  Unmatched probe rows become invalid.
-
-    Requires unique keys on the live build rows (true for every join in the
-    NEXMark/YSB suite; see module docstring).  Returns (out_cols, out_valid).
-    """
+    """General-key N-to-1 join: sort build, binary-search probes."""
     bk, bcols, bvalid = build_lookup(build_cols, build_valid, build_key)
     pk = probe_cols[probe_key]
     idx = jnp.searchsorted(bk, pk)
@@ -169,6 +243,54 @@ def lookup_join(
     for src, dst in take.items():
         out[dst] = bcols[src][idx]
     return out, hit
+
+
+def lookup_join(
+    build_cols: dict[str, jax.Array],
+    build_valid: jax.Array,
+    build_key: str,
+    probe_cols: dict[str, jax.Array],
+    probe_valid: jax.Array,
+    probe_key: str,
+    take: dict[str, str],  # build col → output name
+    span_margin: int = 8192,
+):
+    """N-to-1 inner join: probe rows keep their slots; matched build columns
+    are gathered alongside.  Unmatched probe rows become invalid.
+
+    Requires unique keys on the live build rows (true for every join in the
+    NEXMark/YSB suite; see module docstring).  Returns (out_cols, out_valid,
+    overflow).
+
+    Fast path: build keys are *dense* integers (consecutively generated ids),
+    so the "hash table" is a direct-index array over the key span — one
+    scatter to build, one gather per probe, no sort and no binary search.
+    Build keys falling outside ``build_capacity + span_margin`` slots above
+    the minimum raise the overflow flag; callers can widen or fall back to
+    ``sorted_lookup_join``.  The default margin covers the generator id
+    striping (ids jump by (100_000/num_generators)*proportion between
+    partitions, event.rs:86-88): ≤6000 slots for auctions, ≤2000 for persons.
+    """
+    bk = build_cols[build_key]
+    span = bk.shape[0] + span_margin
+    m = jnp.min(jnp.where(build_valid, bk, I32_MAX))
+    pos = (bk - m).astype(jnp.int32)
+    in_range = build_valid & (pos >= 0) & (pos < span)
+    overflow = jnp.any(build_valid & ~in_range)
+    slot = jnp.where(in_range, pos, span)
+    index = jnp.full((span,), -1, jnp.int32).at[slot].set(
+        jnp.arange(bk.shape[0], dtype=jnp.int32), mode="drop")
+
+    pk = probe_cols[probe_key]
+    q = (pk - m).astype(jnp.int32)
+    q_ok = probe_valid & (q >= 0) & (q < span)
+    row = index[jnp.where(q_ok, q, 0)]
+    hit = q_ok & (row >= 0)
+    row = jnp.where(hit, row, 0)
+    out = dict(probe_cols)
+    for src, dst in take.items():
+        out[dst] = build_cols[src][row]
+    return out, hit, overflow
 
 
 def rank_in_group(cols: dict[str, jax.Array], valid: jax.Array,

@@ -90,12 +90,12 @@ def lower_dist(node: Node, tables: dict, ctx: _Ctx):
         bcols, bvalid, o1 = lower_dist(node.build, tables, ctx)
         gcols, gvalid = broadcast_gather(bcols, bvalid, ctx.axis)
         pcols, pvalid, o2 = lower_dist(node.probe, tables, ctx)
-        cols, valid = kernels.lookup_join(
+        cols, valid, o3 = kernels.lookup_join(
             gcols, gvalid, node.build_key, pcols, pvalid, node.probe_key,
             dict(node.take))
         if node.post_filter is not None:
             valid = valid & node.post_filter(cols)
-        return cols, valid, o1 | o2
+        return cols, valid, o1 | o2 | o3
 
     if isinstance(node, Rank):
         cols, valid, ovf = lower_dist(node.child, tables, ctx)
@@ -201,7 +201,7 @@ class DistributedExecutor:
                 flat_inputs.append(np.stack(stacked[nm]))
             flat_inputs.append(np.stack(valids))
 
-        agg_cap = self.agg_capacity or max(c for _, c in cap_sig)
+        agg_cap = self.agg_capacity or (max(c for _, c in cap_sig) + 8192)
         fm, names_box = self._fn(tuple(cap_sig), agg_cap, tuple(col_names))
         outs = fm(*flat_inputs)
         out_names = names_box["names"]

@@ -178,12 +178,12 @@ def lower(node: Node, tables: dict[str, Batch], agg_capacity: int | None = None)
     if isinstance(node, Join):
         b = lower(node.build, tables, agg_capacity)
         p = lower(node.probe, tables, agg_capacity)
-        cols, valid = kernels.lookup_join(
+        cols, valid, ovf = kernels.lookup_join(
             b.cols, b.valid, node.build_key,
             p.cols, p.valid, node.probe_key, dict(node.take))
         if node.post_filter is not None:
             valid = valid & node.post_filter(cols)
-        return Lowered(cols, valid, b.overflow | p.overflow)
+        return Lowered(cols, valid, b.overflow | p.overflow | ovf)
 
     if isinstance(node, Rank):
         c = lower(node.child, tables, agg_capacity)

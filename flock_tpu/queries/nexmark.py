@@ -114,10 +114,13 @@ def _winning_bid_interval(extra_take: tuple = ()) -> Node:
 
 
 def q4() -> QuerySpec:
+    # GROUP BY a_id, category ≡ GROUP BY a_id with category carried via max
+    # (category is functionally dependent on a_id) — keeps the dense-key
+    # single-key aggregation path (kernels.dense_group_aggregate).
     per_auction = Aggregate(
         _winning_bid_interval((("category", "category"),)),
-        group_keys=("auction", "category"),
-        aggs=(("price", "max", "final"),),
+        group_keys=("auction",),
+        aggs=(("price", "max", "final"), ("category", "max", "category")),
     )
     per_category = Aggregate(
         per_auction,
@@ -201,7 +204,9 @@ def q7() -> QuerySpec:
 
 
 def q8() -> QuerySpec:
-    people = Aggregate(Scan("person"), group_keys=("p_id", "name"), aggs=())
+    # GROUP BY p_id, name ≡ GROUP BY p_id with name carried (dependent col).
+    people = Aggregate(Scan("person"), group_keys=("p_id",),
+                       aggs=(("name", "max", "name"),))
     sellers = Aggregate(Scan("auction"), group_keys=("seller",), aggs=())
     plan = Project(
         Join(build=people, probe=sellers, build_key="p_id", probe_key="seller",
@@ -247,9 +252,12 @@ def q11() -> QuerySpec:
     # the source function via HashDiff partitioning, window/session.rs:187-321)
     # and feeds closed sessions with a __session id column; grouping by
     # (bidder, __session) yields one row per session.
+    # __session ids are globally unique per session, so GROUP BY
+    # (bidder, __session) ≡ GROUP BY __session with bidder carried.
     plan = Project(
-        Aggregate(_bid_scan(), group_keys=("bidder", "__session"),
-                  aggs=((None, "count", "bid_count"),
+        Aggregate(_bid_scan(), group_keys=("__session",),
+                  aggs=(("bidder", "max", "bidder"),
+                        (None, "count", "bid_count"),
                         ("b_date_time", "min", "start_time"),
                         ("b_date_time", "max", "end_time"))),
         (("bidder", "bidder"), ("bid_count", "bid_count"),

@@ -36,6 +36,32 @@ class LocalExecutor:
                 compile_plan(self.spec.plan, agg_capacity))
         return self._compiled[key]
 
+    def prepare_window(self, tables: dict[str, dict[str, np.ndarray]],
+                       capacities: dict[str, int] | None = None
+                       ) -> dict[str, Batch]:
+        """Host columns → fixed-capacity device Batches (the feed/transfer
+        step — feed_data_sources analogue, runtime/context.rs:257-325)."""
+        capacities = capacities or {}
+        batches = {}
+        for rel, cols in tables.items():
+            n = len(next(iter(cols.values()))) if cols else 0
+            cap = capacities.get(rel) or max(round_up(max(n, 1)), 128)
+            batches[rel] = Batch.from_numpy(cols, cap)
+        return batches
+
+    def execute_batches(self, batches: dict[str, Batch],
+                        check_overflow: bool = True) -> Batch:
+        """Run the jitted plan over device-resident Batches (compute only)."""
+        agg_cap = self.agg_capacity or (
+            max(b.capacity for b in batches.values()) + 8192)
+        cap_sig = tuple(sorted((r, b.capacity) for r, b in batches.items()))
+        out, overflow = self._fn(cap_sig, agg_cap)(batches)
+        if check_overflow and bool(overflow):
+            raise OverflowError(
+                f"q{self.spec.number}: static capacity exceeded "
+                f"(caps={cap_sig}, agg={agg_cap})")
+        return out
+
     def execute_window(self, tables: dict[str, dict[str, np.ndarray]],
                        capacities: dict[str, int] | None = None) -> Batch:
         """Run the query plan over one window's relation tables.
@@ -43,20 +69,7 @@ class LocalExecutor:
         Returns the device output Batch (padded).  Raises OverflowError if any
         static capacity was exceeded.
         """
-        capacities = capacities or {}
-        batches = {}
-        for rel, cols in tables.items():
-            n = len(next(iter(cols.values()))) if cols else 0
-            cap = capacities.get(rel) or max(round_up(max(n, 1)), 128)
-            batches[rel] = Batch.from_numpy(cols, cap)
-        agg_cap = self.agg_capacity or max(b.capacity for b in batches.values())
-        cap_sig = tuple(sorted((r, b.capacity) for r, b in batches.items()))
-        out, overflow = self._fn(cap_sig, agg_cap)(batches)
-        if bool(overflow):
-            raise OverflowError(
-                f"q{self.spec.number}: static capacity exceeded "
-                f"(caps={cap_sig}, agg={agg_cap})")
-        return out
+        return self.execute_batches(self.prepare_window(tables, capacities))
 
     def materialize(self, out: Batch) -> dict[str, np.ndarray]:
         return materialize_columns(self.spec, out.to_numpy())

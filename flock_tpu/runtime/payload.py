@@ -1,0 +1,89 @@
+"""Payload wire format: serialized, compressed columnar fragments.
+
+Reference counterpart: flock/src/runtime/payload.rs — Arrow-Flight frames,
+per-batch compressed (zstd/lz4/snappy), addressed by ``Uuid{qid, seq_num,
+seq_len}`` so an arena can reassemble a window from N fragments.
+
+On a TPU mesh, live data never leaves HBM (collectives replace payload hops),
+so this format serves the *persistence* paths instead: window-state
+checkpoints, the state backend (S3 analogue), and host-to-host spill.  Codec:
+zlib (stdlib) with level as the knob; the fragment header mirrors the
+reference Uuid addressing for arena reassembly.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class FragmentId:
+    """Reference Uuid (payload.rs:34-100): query id + fragment seq."""
+
+    qid: str
+    seq_num: int
+    seq_len: int
+    shuffle_id: int = 0
+
+
+@dataclass
+class Payload:
+    """One columnar fragment + addressing + free-form metadata."""
+
+    fragment: FragmentId
+    columns: dict[str, np.ndarray]
+    metadata: dict = field(default_factory=dict)
+
+
+def encode(payload: Payload, level: int = 3) -> bytes:
+    """Serialize + compress one payload (level mirrors zstd default=3)."""
+    buf = io.BytesIO()
+    np.savez(buf, **payload.columns)
+    raw = buf.getvalue()
+    header = json.dumps({
+        "qid": payload.fragment.qid,
+        "seq_num": payload.fragment.seq_num,
+        "seq_len": payload.fragment.seq_len,
+        "shuffle_id": payload.fragment.shuffle_id,
+        "metadata": payload.metadata,
+        "nbytes": len(raw),
+    }).encode()
+    body = zlib.compress(raw, level)
+    return len(header).to_bytes(4, "little") + header + body
+
+
+def decode(data: bytes) -> Payload:
+    hlen = int.from_bytes(data[:4], "little")
+    header = json.loads(data[4:4 + hlen])
+    raw = zlib.decompress(data[4 + hlen:])
+    with np.load(io.BytesIO(raw)) as z:
+        cols = {k: z[k] for k in z.files}
+    return Payload(
+        fragment=FragmentId(header["qid"], header["seq_num"],
+                            header["seq_len"], header["shuffle_id"]),
+        columns=cols,
+        metadata=header["metadata"],
+    )
+
+
+def to_fragments(cols: dict[str, np.ndarray], qid: str, granule: int,
+                 shuffle_id: int = 0, metadata: dict | None = None
+                 ) -> list[Payload]:
+    """Slice a window's columns into granule-sized fragments (the payload
+    granularity analogue, flock.toml:59-61)."""
+    n = len(next(iter(cols.values()))) if cols else 0
+    seq_len = max(1, -(-n // granule))
+    out = []
+    for i in range(seq_len):
+        sl = slice(i * granule, min((i + 1) * granule, n))
+        out.append(Payload(
+            fragment=FragmentId(qid, i, seq_len, shuffle_id),
+            columns={k: v[sl] for k, v in cols.items()},
+            metadata=dict(metadata or {}),
+        ))
+    return out
