@@ -57,9 +57,11 @@ def bench_query(qnum: int, seconds: int, eps: int, repeats: int = 3):
     staged = jax.block_until_ready(jax.device_put(staged))
     feed_dt = time.perf_counter() - t0
 
-    # warm-up (compile)
+    # warm-up (compile); host readback forces real completion (the remote
+    # tunnel's block_until_ready can return early)
     out = executor.execute_batches(staged[0])
-    jax.block_until_ready(out.valid)
+    import numpy as _np
+    _np.asarray(out.valid[:1])
 
     rows_in = sum(
         len(next(iter(t[r].values())))
@@ -70,7 +72,8 @@ def bench_query(qnum: int, seconds: int, eps: int, repeats: int = 3):
         t0 = time.perf_counter()
         outs = [executor.execute_batches(b, check_overflow=False)
                 for b in staged]
-        jax.block_until_ready([o.valid for o in outs])
+        # device stream is ordered: forcing the last output to host forces all
+        _np.asarray(outs[-1].valid[:1])
         best = min(best, time.perf_counter() - t0)
 
     return {

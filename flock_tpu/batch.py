@@ -131,11 +131,17 @@ class Batch:
 
 @dataclass
 class Schema:
-    """Host-side metadata: column order, dictionaries, timestamp columns."""
+    """Host-side metadata: column order, dictionaries, timestamp columns.
+
+    ``f64_recompute`` maps an output column to an exact float64 recompute
+    recipe applied at the sink from carried integer basis columns:
+    ("mul_lit", literal, basis_col) or ("div", sum_col, count_col).
+    """
 
     names: list[str]
     dictionaries: dict[str, list[str]] = field(default_factory=dict)
     timestamp_cols: tuple[str, ...] = ()
+    f64_recompute: dict[str, tuple] = field(default_factory=dict)
 
     def decode(self, cols: dict[str, np.ndarray]) -> dict[str, Any]:
         out = {}

@@ -99,6 +99,66 @@ def cmd_ysb(args) -> int:
     return 0
 
 
+def cmd_fsql(args) -> int:
+    """Run SQL over generated NEXMark (or YSB) data — the fsql REPL analogue
+    (flock-cli/src/fsql.rs, which is a stub in the reference; here it works)."""
+    from flock_tpu.runtime.executor import LocalExecutor
+    from flock_tpu.runtime.stream import generate_epochs
+    from flock_tpu.runtime.tables import concat_relations, default_side_input
+    from flock_tpu.sql.catalog import nexmark_catalog, ysb_catalog
+    from flock_tpu.sql.lower import sql_to_spec
+
+    if args.dataset == "nexmark":
+        catalog = nexmark_catalog()
+        epochs = generate_epochs(args.seconds, args.eps, args.generators)
+        window = concat_relations(epochs, ("person", "auction", "bid"))
+        window["side_input"] = default_side_input()
+    else:
+        from flock_tpu.datagen.ysb import YsbConfig
+        from flock_tpu.queries.ysb import campaign_table, generate_ysb_epochs
+        import numpy as np
+
+        catalog = ysb_catalog()
+        cfg = YsbConfig(seconds=args.seconds, events_per_second=args.eps,
+                        threads=args.generators)
+        ys = generate_ysb_epochs(cfg)
+        window = {
+            "ad_event": {k: np.concatenate([e["ad_event"][k] for e in ys])
+                         for k in ys[0]["ad_event"]},
+            "campaign": campaign_table(cfg),
+        }
+
+    def run_one(sql: str):
+        t0 = time.perf_counter()
+        spec = sql_to_spec(sql, catalog)
+        ex = LocalExecutor(spec)
+        tables = {r: window[r] for r in spec.relations}
+        out = ex.materialize(ex.execute_window(tables))
+        n = len(next(iter(out.values()))) if out else 0
+        _print_window(("sql",), out, spec.schema, args.show or 10)
+        print(f"{n} rows in {time.perf_counter() - t0:.2f}s")
+
+    if args.query:
+        run_one(args.query)
+        return 0
+    import readline  # noqa: F401  (history/line editing)
+
+    print(f"fsql — {args.dataset} tables loaded "
+          f"({args.seconds}s × {args.eps} events/s). Ctrl-D to exit.")
+    while True:
+        try:
+            line = input("fsql> ").strip()
+        except EOFError:
+            print()
+            return 0
+        if not line:
+            continue
+        try:
+            run_one(line)
+        except Exception as e:  # noqa: BLE001
+            print(f"error: {e}")
+
+
 def cmd_bench(args) -> int:
     import bench  # repo-root harness
 
@@ -134,6 +194,16 @@ def main(argv=None) -> int:
     yr.add_argument("-g", "--generators", type=int, default=1)
     yr.add_argument("--show", type=int, default=0)
     yr.set_defaults(fn=cmd_ysb)
+
+    fq = sub.add_parser("fsql")
+    fq.add_argument("query", nargs="?", default=None,
+                    help="one-shot SQL; omit for a REPL")
+    fq.add_argument("--dataset", choices=["nexmark", "ysb"], default="nexmark")
+    fq.add_argument("-s", "--seconds", type=int, default=2)
+    fq.add_argument("-e", "--eps", type=int, default=5_000)
+    fq.add_argument("-g", "--generators", type=int, default=1)
+    fq.add_argument("--show", type=int, default=0)
+    fq.set_defaults(fn=cmd_fsql)
 
     be = sub.add_parser("bench")
     be.add_argument("--query", type=int, default=4)

@@ -29,9 +29,11 @@ from functools import reduce
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-I32_MAX = jnp.int32(2**31 - 1)
+I32_MAX = np.int32(2**31 - 1)  # np scalar: inlines as a literal (a jnp
+# scalar constant becomes a hidden executable parameter and breaks dispatch)
 
 
 def _shift_ne(k: jax.Array) -> jax.Array:
@@ -87,6 +89,11 @@ def _scatter_aggs(seg: jax.Array, svalid: jax.Array, scols: dict,
             ones = jnp.ones_like(svalid, dtype=jnp.int32)
             out[out_name] = jnp.zeros((out_capacity,), jnp.int32).at[seg].add(
                 ones, mode="drop")
+        elif fn == "count_sum":
+            # re-aggregation of partial counts: int32 sum (stays int32, unlike
+            # general integer "sum" which widens to int64)
+            out[out_name] = jnp.zeros((out_capacity,), jnp.int32).at[seg].add(
+                scols[in_col].astype(jnp.int32), mode="drop")
         elif fn == "sum":
             v = scols[in_col]
             acc = jnp.float32 if jnp.issubdtype(v.dtype, jnp.floating) else jnp.int64
@@ -105,41 +112,100 @@ def _scatter_aggs(seg: jax.Array, svalid: jax.Array, scols: dict,
     return out
 
 
+FULL_ONEHOT_MAX = 4096   # spans up to this use full one-hot (no locality need)
+AGG_BLOCK = 4096
+AGG_S_LOC = 1024
+
+
 def dense_group_aggregate(
     cols: dict[str, jax.Array],
     valid: jax.Array,
     key: str,
     aggs: list[tuple[str, str, str]],
     out_capacity: int,
+    allow_blocked: bool = True,
 ):
     """Dense-key grouped aggregation: segment id = key − min(valid keys).
 
     NEXMark/YSB group keys (auction/person/campaign/session ids) are generated
-    consecutively, so a window's key range fits a static span and aggregation
-    is pure scatter-add/min/max — no sort, HBM-bandwidth bound (the
-    TPU-idiomatic replacement for a hash-aggregate inner loop).  Rows whose
-    key falls outside ``out_capacity`` slots above the minimum raise the
-    overflow flag (the caller widens, exactly like Flock's payload guards).
+    consecutively, so a window's key range fits a static span.  Dispatch:
 
-    Output slot i holds key ``min + i`` (gaps stay invalid).
+    * span ≤ FULL_ONEHOT_MAX → full one-hot MXU/VPU contraction (no locality
+      assumption; ops/blocked.full_onehot_agg);
+    * larger spans with ``allow_blocked`` → blocked local one-hot exploiting
+      stream key locality (ops/blocked.blocked_local_agg); escaping rows set
+      the overflow flag and callers fall back here with
+      ``allow_blocked=False``;
+    * otherwise → XLA scatter (correct for any distribution, ~25ns/row).
+
+    Rows whose key falls outside ``out_capacity`` slots above the minimum
+    raise the overflow flag (the caller widens, exactly like Flock's payload
+    guards).  Output slot i holds key ``min + i`` (gaps stay invalid).
     """
-    k = cols[key]
-    m = jnp.min(jnp.where(valid, k, I32_MAX))
-    pos = (k - m).astype(jnp.int32)
-    in_range = valid & (pos >= 0) & (pos < out_capacity)
-    overflow = jnp.any(valid & ~in_range)
-    seg = jnp.where(in_range, pos, out_capacity)
+    from flock_tpu.ops import blocked
 
-    out = _scatter_aggs(seg, valid, cols, list(aggs) or [(None, "count", "__c")],
-                        out_capacity)
-    counts = out.get("__c")
-    if counts is None:
-        ones = jnp.ones_like(valid, dtype=jnp.int32)
-        counts = jnp.zeros((out_capacity,), jnp.int32).at[seg].add(
-            ones, mode="drop")
-    out.pop("__c", None)
-    out[key] = m.astype(k.dtype) + jnp.arange(out_capacity, dtype=k.dtype)
-    return out, counts > 0, overflow
+    def scatter_path():
+        k = cols[key]
+        m = jnp.min(jnp.where(valid, k, I32_MAX))
+        pos = (k - m).astype(jnp.int32)
+        in_range = valid & (pos >= 0) & (pos < out_capacity)
+        overflow = jnp.any(valid & ~in_range).astype(bool).reshape(())
+        seg = jnp.where(in_range, pos, out_capacity)
+        out = _scatter_aggs(seg, valid, cols,
+                            list(aggs) or [(None, "count", "__c")],
+                            out_capacity)
+        counts = out.get("__c")
+        if counts is None:
+            ones = jnp.ones_like(valid, dtype=jnp.int32)
+            counts = jnp.zeros((out_capacity,), jnp.int32).at[seg].add(
+                ones, mode="drop")
+        out.pop("__c", None)
+        out[key] = m.astype(k.dtype) + jnp.arange(out_capacity, dtype=k.dtype)
+        return out, counts > 0, overflow
+
+    int32_only = all(
+        (c is None or cols[c].dtype == jnp.int32) for c, fn, _ in aggs
+    ) and cols[key].dtype == jnp.int32
+    if not int32_only:
+        return scatter_path()
+
+    agg_cols = {c: cols[c] for c, f, _ in aggs if c is not None}
+    if out_capacity <= FULL_ONEHOT_MAX:
+        out, ovalid, ovf = blocked.full_onehot_agg(
+            cols[key], valid, agg_cols, list(aggs), out_capacity)
+        out[key] = out.pop("__key")
+        return out, ovalid, ovf
+    if not allow_blocked:
+        return scatter_path()
+
+    n = valid.shape[0]
+    pad = (-n) % AGG_BLOCK
+    k = jnp.pad(cols[key], (0, pad))
+    v = jnp.pad(valid, (0, pad))
+    ac = {c: jnp.pad(a, (0, pad)) for c, a in agg_cols.items()}
+    b_out, b_valid, escape = blocked.blocked_local_agg(
+        k, v, ac, list(aggs), out_capacity,
+        block=min(AGG_BLOCK, k.shape[0]), s_loc=AGG_S_LOC)
+    b_out[key] = b_out.pop("__key")
+
+    # locality broke (e.g. post-hash-shuffle keys): fall back to the scatter
+    # path at runtime via lax.cond — blocked is the fast path and always
+    # runs; the scatter safety net only executes when rows escaped.
+    names = sorted(b_out)
+
+    def esc_branch():
+        o, v2, f2 = scatter_path()
+        return tuple(o[nm] for nm in names) + (v2, f2)
+
+    def ok_branch():
+        # escape-derived False keeps the varying-axis type aligned with the
+        # scatter branch under shard_map
+        return (tuple(b_out[nm] for nm in names)
+                + (b_valid, escape & False))
+
+    picked = lax.cond(escape, esc_branch, ok_branch)
+    out = dict(zip(names, picked[:-2]))
+    return out, picked[-2], picked[-1]
 
 
 def group_aggregate(
@@ -148,6 +214,7 @@ def group_aggregate(
     group_keys: list[str],
     aggs: list[tuple[str, str, str]],  # (in_col, fn, out_name); fn ∈ sum/count/min/max
     out_capacity: int,
+    allow_blocked: bool = True,
 ):
     """Grouped aggregation.  Single integer key → dense scatter path
     (``dense_group_aggregate``); multi-key → sort-based fallback.
@@ -162,7 +229,7 @@ def group_aggregate(
     if len(group_keys) == 1 and not jnp.issubdtype(
             cols[group_keys[0]].dtype, jnp.floating):
         return dense_group_aggregate(cols, valid, group_keys[0], aggs,
-                                     out_capacity)
+                                     out_capacity, allow_blocked)
     needed = list(dict.fromkeys(
         group_keys + [c for c, f, _ in aggs if f != "count" and c is not None]))
     sub = {k: cols[k] for k in needed}
@@ -188,6 +255,11 @@ def group_aggregate(
             ones = jnp.ones_like(svalid, dtype=jnp.int32)
             out[out_name] = jnp.zeros((out_capacity,), jnp.int32).at[seg].add(
                 ones, mode="drop")
+        elif fn == "count_sum":
+            # re-aggregation of partial counts: int32 sum (stays int32, unlike
+            # general integer "sum" which widens to int64)
+            out[out_name] = jnp.zeros((out_capacity,), jnp.int32).at[seg].add(
+                scols[in_col].astype(jnp.int32), mode="drop")
         elif fn == "sum":
             # Integer sums accumulate in int64 (TPU emulates i64 as i32 pairs;
             # the exactness matters for AVG parity — f64 division happens at
@@ -263,34 +335,58 @@ def lookup_join(
     overflow).
 
     Fast path: build keys are *dense* integers (consecutively generated ids),
-    so the "hash table" is a direct-index array over the key span — one
-    scatter to build, one gather per probe, no sort and no binary search.
+    so the "hash table" is a per-key-slot array over the key span.  Both
+    sides avoid random access: the build side is *slotted* with the one-hot
+    aggregation (max over a unique key ≡ the value) and the probe side
+    gathers via blocked one-hot MXU contractions over a sliding build window
+    (ops/blocked.blocked_local_join) — measured far faster than the XLA
+    scatter/gather formulation on TPU (bench/kernels_bench.py).
+
     Build keys falling outside ``build_capacity + span_margin`` slots above
     the minimum raise the overflow flag; callers can widen or fall back to
     ``sorted_lookup_join``.  The default margin covers the generator id
     striping (ids jump by (100_000/num_generators)*proportion between
     partitions, event.rs:86-88): ≤6000 slots for auctions, ≤2000 for persons.
     """
+    from flock_tpu.ops import blocked
+
     bk = build_cols[build_key]
     span = bk.shape[0] + span_margin
+    # slot the build side: unique keys ⇒ max() over each take-col == the value
+    slot_aggs = [(src, "max", src) for src in take]
+    slots, present, ovf_b = dense_group_aggregate(
+        {build_key: bk, **{src: build_cols[src] for src in take}},
+        build_valid, build_key, slot_aggs, span)
     m = jnp.min(jnp.where(build_valid, bk, I32_MAX))
-    pos = (bk - m).astype(jnp.int32)
-    in_range = build_valid & (pos >= 0) & (pos < span)
-    overflow = jnp.any(build_valid & ~in_range)
-    slot = jnp.where(in_range, pos, span)
-    index = jnp.full((span,), -1, jnp.int32).at[slot].set(
-        jnp.arange(bk.shape[0], dtype=jnp.int32), mode="drop")
 
     pk = probe_cols[probe_key]
-    q = (pk - m).astype(jnp.int32)
-    q_ok = probe_valid & (q >= 0) & (q < span)
-    row = index[jnp.where(q_ok, q, 0)]
-    hit = q_ok & (row >= 0)
-    row = jnp.where(hit, row, 0)
+    n = pk.shape[0]
+    pad = (-n) % AGG_BLOCK
+    take_list = list(take)
+    slot_arrays = {src: slots[src] for src in take_list}
+    gathered, hit, escape = blocked.blocked_local_join(
+        slot_arrays, present, m,
+        jnp.pad(pk, (0, pad)), jnp.pad(probe_valid, (0, pad)),
+        take_list, block=min(AGG_BLOCK, n + pad),
+        s_loc=min(AGG_S_LOC, span))
+
+    # probe-locality safety net: per-row gather (slow but general), executed
+    # only when a block escaped its window (lax.cond)
+    def esc_branch():
+        q = (pk - m).astype(jnp.int32)
+        ok = probe_valid & (q >= 0) & (q < span)
+        qc = jnp.where(ok, q, 0)
+        h = ok & present[qc]
+        return tuple(slot_arrays[src][qc] for src in take_list) + (h,)
+
+    def ok_branch():
+        return tuple(gathered[src][:n] for src in take_list) + (hit[:n],)
+
+    picked = lax.cond(escape, esc_branch, ok_branch)
     out = dict(probe_cols)
-    for src, dst in take.items():
-        out[dst] = build_cols[src][row]
-    return out, hit, overflow
+    for i, src in enumerate(take_list):
+        out[take[src]] = picked[i]
+    return out, picked[-1], ovf_b
 
 
 def rank_in_group(cols: dict[str, jax.Array], valid: jax.Array,

@@ -51,7 +51,10 @@ class _Ctx:
 
 
 def _final_aggs(aggs):
-    return tuple((out, {"count": "sum"}.get(fn, fn), out) for (_, fn, out) in aggs)
+    # count partials re-aggregate with an int32 sum (count_sum) so the final
+    # dtype matches the single-device executor's count output
+    return tuple((out, {"count": "count_sum"}.get(fn, fn), out)
+                 for (_, fn, out) in aggs)
 
 
 def lower_dist(node: Node, tables: dict, ctx: _Ctx):
@@ -78,9 +81,14 @@ def lower_dist(node: Node, tables: dict, ctx: _Ctx):
         # partial (local)
         pcols, pvalid, o1 = kernels.group_aggregate(
             cols, valid, keys, list(node.aggs), cap)
-        # shuffle partials by key hash
+        # shuffle partials by key hash; post-partial-agg rows are ≤ one per
+        # (producer, key), so per-destination buffers shrink with the shard
+        # count (a full-cap buffer would make post-shuffle work grow with n
+        # and destroy scaling); the overflow flag guards the bound
+        per_dest = min(cap, max(4 * (cap // ctx.n_shards), 2048))
         scols, svalid, o2 = all_to_all_shuffle(
-            pcols, pvalid, keys, ctx.n_shards, per_dest_cap=cap, axis=ctx.axis)
+            pcols, pvalid, keys, ctx.n_shards, per_dest_cap=per_dest,
+            axis=ctx.axis)
         # final (local)
         fcols, fvalid, o3 = kernels.group_aggregate(
             scols, svalid, keys, list(_final_aggs(node.aggs)), cap)
@@ -115,6 +123,14 @@ def lower_dist(node: Node, tables: dict, ctx: _Ctx):
     raise TypeError(f"unsupported distributed node {type(node)}")
 
 
+# Module-level strong cache of compiled SPMD programs.  Keyed by the
+# (hashable) plan + mesh + capacity signature; entries live for the process
+# lifetime, which both shares compiles across executor instances and avoids
+# the C++ pjit stale-executable bug seen with per-instance jit closures
+# (see runtime/executor.py).
+_DIST_COMPILED: dict = {}
+
+
 @dataclass
 class DistributedExecutor:
     """Executes a QuerySpec plan SPMD over an n-shard mesh."""
@@ -123,16 +139,16 @@ class DistributedExecutor:
     n_shards: int
     mesh: object = None
     agg_capacity: int | None = None
-    _compiled: dict = field(default_factory=dict)
 
     def __post_init__(self):
         if self.mesh is None:
             self.mesh = make_mesh(self.n_shards)
 
     def _fn(self, cap_sig: tuple, agg_cap: int, col_names: tuple):
-        key = (cap_sig, agg_cap, col_names)
-        if key in self._compiled:
-            return self._compiled[key]
+        key = (self.spec.plan, self.n_shards, self.mesh,
+               cap_sig, agg_cap, col_names)
+        if key in _DIST_COMPILED:
+            return _DIST_COMPILED[key]
 
         spec_plan = self.spec.plan
         ctx = _Ctx(self.n_shards, agg_cap)
@@ -165,8 +181,8 @@ class DistributedExecutor:
             in_specs=tuple([P(AXIS, None)] * n_in),
             out_specs=P(AXIS, None),
         ))
-        self._compiled[key] = (fm, out_names_box)
-        return self._compiled[key]
+        _DIST_COMPILED[key] = (fm, out_names_box)
+        return _DIST_COMPILED[key]
 
     def execute_window(self, shard_tables: list[dict[str, dict[str, np.ndarray]]],
                        capacities: dict[str, int] | None = None):

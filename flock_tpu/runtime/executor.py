@@ -9,8 +9,10 @@ host materialization with timestamp restore and dictionary decode.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from flock_tpu.batch import Batch, round_up
@@ -23,18 +25,38 @@ class OverflowError(RuntimeError):
     size guards); retry with larger capacities."""
 
 
+# Module-level jitted entry points with the (hashable, immutable) plan as a
+# static argument.  Per-executor jit closures previously hit a C++ pjit
+# fastpath bug after closure garbage collection (stale executables answering
+# with "Execution supplied N buffers but compiled program expected M"); one
+# long-lived function per entry point with static plan args sidesteps the
+# churn entirely and shares compiled programs across executor instances.
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _run_plan(plan, agg_capacity: int, tables: dict[str, Batch]):
+    return compile_plan(plan, agg_capacity)(tables)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _run_plan_epochs(plan, agg_capacity: int,
+                     epoch_tables: list[dict[str, Batch]],
+                     static_tables: dict[str, Batch]):
+    merged = dict(static_tables)
+    for rel in epoch_tables[0]:
+        cols = {}
+        for c in epoch_tables[0][rel].columns:
+            cols[c] = jnp.concatenate(
+                [et[rel].columns[c] for et in epoch_tables])
+        valid = jnp.concatenate([et[rel].valid for et in epoch_tables])
+        merged[rel] = Batch(columns=cols, valid=valid)
+    return compile_plan(plan, agg_capacity)(merged)
+
+
 @dataclass
 class LocalExecutor:
     spec: QuerySpec
     agg_capacity: int | None = None
-    _compiled: dict = field(default_factory=dict)
-
-    def _fn(self, cap_sig: tuple, agg_capacity: int):
-        key = (cap_sig, agg_capacity)
-        if key not in self._compiled:
-            self._compiled[key] = jax.jit(
-                compile_plan(self.spec.plan, agg_capacity))
-        return self._compiled[key]
 
     def prepare_window(self, tables: dict[str, dict[str, np.ndarray]],
                        capacities: dict[str, int] | None = None
@@ -54,12 +76,12 @@ class LocalExecutor:
         """Run the jitted plan over device-resident Batches (compute only)."""
         agg_cap = self.agg_capacity or (
             max(b.capacity for b in batches.values()) + 8192)
-        cap_sig = tuple(sorted((r, b.capacity) for r, b in batches.items()))
-        out, overflow = self._fn(cap_sig, agg_cap)(batches)
+        out, overflow = _run_plan(self.spec.plan, agg_cap, batches)
         if check_overflow and bool(overflow):
+            caps = tuple(sorted((r, b.capacity) for r, b in batches.items()))
             raise OverflowError(
                 f"q{self.spec.number}: static capacity exceeded "
-                f"(caps={cap_sig}, agg={agg_cap})")
+                f"(caps={caps}, agg={agg_cap})")
         return out
 
     def execute_window(self, tables: dict[str, dict[str, np.ndarray]],
@@ -70,6 +92,25 @@ class LocalExecutor:
         static capacity was exceeded.
         """
         return self.execute_batches(self.prepare_window(tables, capacities))
+
+    def execute_epochs(self, epoch_tables: list[dict[str, Batch]],
+                       static_tables: dict[str, Batch] | None = None,
+                       check_overflow: bool = True) -> Batch:
+        """Run the plan over a window formed from device-resident per-epoch
+        batches (concatenated in HBM inside the jitted program).
+        ``static_tables`` carries bounded side relations (q13 side input)."""
+        static_tables = static_tables or {}
+        caps = tuple(sorted(
+            (rel, b.capacity) for rel, b in epoch_tables[0].items()))
+        agg_cap = self.agg_capacity or (
+            len(epoch_tables) * max(c for _, c in caps) + 8192)
+        out, overflow = _run_plan_epochs(self.spec.plan, agg_cap,
+                                         epoch_tables, static_tables)
+        if check_overflow and bool(overflow):
+            raise OverflowError(
+                f"q{self.spec.number}: static capacity exceeded "
+                f"(w={len(epoch_tables)}, caps={caps}, agg={agg_cap})")
+        return out
 
     def materialize(self, out: Batch) -> dict[str, np.ndarray]:
         return materialize_columns(self.spec, out.to_numpy())
@@ -88,7 +129,14 @@ def materialize_columns(spec: QuerySpec, host: dict[str, np.ndarray]
         v = host[name]
         if name in schema.timestamp_cols:
             v = v.astype(np.int64) + TS_BASE
-        if name == "price" and "price_cents" in host:
+        if name in schema.f64_recompute:
+            kind, a, b = schema.f64_recompute[name]
+            if kind == "mul_lit":
+                v = a * host[b].astype(np.float64)
+            elif kind == "div":
+                v = host[a].astype(np.float64) / np.maximum(host[b], 1)
+        # legacy recipes for the hand-built query specs
+        elif name == "price" and "price_cents" in host:
             v = 0.908 * host["price_cents"].astype(np.float64)
         elif name == "avg_final" and "sum_final" in host:
             v = host["sum_final"].astype(np.float64) / host["cnt"]

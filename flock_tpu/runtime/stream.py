@@ -137,16 +137,28 @@ class StreamDriver:
         return out
 
     def _run_ranges(self, epochs) -> list[WindowResult]:
-        windows = []
+        """Stage each epoch on device ONCE; windows concat in HBM (see
+        LocalExecutor.execute_epochs).  Hopping windows reuse overlapping
+        epochs without re-transfer."""
+        rels = tuple(r for r in self.spec.relations if r != "side_input")
+        # uniform per-epoch capacities (one compile per window width)
+        caps = {}
+        for rel in rels:
+            m = max((len(next(iter(e[rel].values())))
+                     for e in epochs if rel in e and e[rel]), default=1)
+            caps[rel] = max(round_up(m), 128)
+        staged = [self.executor.prepare_window(
+            {rel: e[rel] for rel in rels}, caps) for e in epochs]
+        statics = None
+        if "side_input" in self.spec.relations:
+            si = self.side_input or default_side_input()
+            statics = self.executor.prepare_window({"side_input": si})
+        out = []
         for tag, rng in self._window_epoch_ranges():
-            parts = [epochs[t] for t in rng if t < len(epochs)]
-            tables = {rel: cols for rel, cols in
-                      concat_relations(parts, self.spec.relations).items()
-                      if rel in self.spec.relations}
-            if "side_input" in self.spec.relations:
-                tables["side_input"] = self.side_input or default_side_input()
-            windows.append((tag, tables))
-        return self._execute_all(windows)
+            ets = [staged[t] for t in rng if t < len(staged)]
+            b = self.executor.execute_epochs(ets, statics)
+            out.append(WindowResult(tag, self.executor.materialize(b)))
+        return out
 
     # -- session windows (q11) ------------------------------------------------
 

@@ -14,6 +14,7 @@ import os
 
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["FLOCK_TPU_JIT_CACHE"] = "0"  # see flock_tpu/__init__.py
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -23,6 +24,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# The persistent compilation cache has produced stale-executable buffer
+# mismatches on the CPU backend in multi-query processes; disable for tests.
+jax.config.update("jax_compilation_cache_dir", None)
 
 assert len(jax.devices()) == 8, (
     f"tests need the 8-device virtual CPU mesh, got {jax.devices()}"

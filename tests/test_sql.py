@@ -1,0 +1,128 @@
+"""SQL frontend tests: parse the executed reference SQL (DataFusion dialect,
+benchmarks/src/nexmark/query/*.sql + ysb.sql) and assert row-identical results
+with the hand-lowered plans over real generated windows."""
+
+import numpy as np
+import pytest
+
+from flock_tpu.queries.nexmark import get_query
+from flock_tpu.queries.ysb import campaign_table, generate_ysb_epochs, ysb_query
+from flock_tpu.datagen.ysb import YsbConfig
+from flock_tpu.runtime.executor import LocalExecutor
+from flock_tpu.runtime.stream import generate_epochs
+from flock_tpu.runtime.tables import concat_relations, default_side_input
+from flock_tpu.sql.catalog import nexmark_catalog, ysb_catalog
+from flock_tpu.sql.lower import sql_to_spec
+
+NEXMARK_SQL = {
+    0: "SELECT * FROM bid;",
+    1: "SELECT auction, bidder, 0.908 * price AS price, b_date_time FROM bid;",
+    2: "SELECT auction, price FROM bid WHERE auction % 123 = 0;",
+    3: ("SELECT name, city, state, a_id FROM auction INNER JOIN person "
+        "ON seller = p_id WHERE category = 10 AND (state = 'or' OR "
+        "state = 'id' OR state = 'ca');"),
+    4: ("SELECT category, Avg(final) AS avg_final FROM (SELECT Max(price) AS final, "
+        "category FROM auction INNER JOIN bid ON a_id = auction WHERE "
+        "b_date_time BETWEEN a_date_time AND expires GROUP BY a_id, category"
+        ") AS Q GROUP BY category;"),
+    5: ("SELECT auction, num FROM (SELECT auction, Count(*) AS num FROM bid "
+        "GROUP BY auction) AS AuctionBids INNER JOIN (SELECT Max(num) AS "
+        "maxn FROM (SELECT auction, Count(*) AS num FROM bid GROUP BY "
+        "auction) AS CountBids) AS MaxBids ON num = maxn;"),
+    7: ("SELECT auction, price, bidder, b_date_time FROM bid JOIN (SELECT "
+        "Max(price) AS maxprice FROM bid) AS B1 ON price = maxprice;"),
+    8: ("SELECT p_id, name FROM (SELECT p_id, name FROM person GROUP BY "
+        "p_id, name) AS P JOIN (SELECT seller FROM auction GROUP BY seller)"
+        " AS A ON p_id = seller;"),
+    9: ("SELECT auction, bidder, price, b_date_time FROM bid JOIN (SELECT "
+        "a_id AS id, Max(price) AS final FROM auction INNER JOIN bid ON "
+        "a_id = auction WHERE b_date_time BETWEEN a_date_time AND expires "
+        "GROUP BY a_id) AS Q ON auction = id AND price = final;"),
+    13: ("SELECT auction, bidder, price, b_date_time, value FROM bid JOIN "
+         "side_input ON auction = key;"),
+}
+
+Q6_SQL = (
+    "SELECT seller, Avg(price) AS avg_price FROM (SELECT seller, price, b_date_time, "
+    "Row_number() OVER (partition BY seller ORDER BY b_date_time DESC) AS "
+    "time_rank FROM (SELECT seller, a_id, price, b_date_time, Row_number() "
+    "OVER (partition BY a_id ORDER BY price DESC) AS price_rank FROM "
+    "auction INNER JOIN bid ON a_id = auction WHERE b_date_time BETWEEN "
+    "a_date_time AND expires ORDER BY a_id, price DESC) AS Q WHERE "
+    "price_rank = 1) AS R WHERE time_rank <= 10 GROUP BY seller;")
+
+YSB_SQL = ("SELECT campaign_id, Count(*) AS count FROM ad_event INNER JOIN campaign "
+           "ON ad_id = c_ad_id WHERE event_type = 'view' GROUP BY campaign_id;")
+
+
+@pytest.fixture(scope="module")
+def window():
+    epochs = generate_epochs(3, 2000, 2)
+    return concat_relations(epochs, ("person", "auction", "bid"))
+
+
+def rows(cols, names):
+    arrays = [np.asarray(cols[n]) for n in names]
+    if not len(arrays[0]):
+        return []
+    return sorted(zip(*(a.tolist() for a in arrays)))
+
+
+def run_spec(spec, window):
+    tables = {r: window[r] for r in spec.relations if r != "side_input"}
+    if "side_input" in spec.relations:
+        tables["side_input"] = default_side_input()
+    ex = LocalExecutor(spec)
+    return ex.materialize(ex.execute_window(tables))
+
+
+@pytest.mark.parametrize("qnum", sorted(NEXMARK_SQL))
+def test_sql_matches_hand_plan(qnum, window):
+    hand = get_query(qnum)
+    sql_spec = sql_to_spec(NEXMARK_SQL[qnum], nexmark_catalog())
+    got = run_spec(sql_spec, window)
+    want = run_spec(hand, window)
+    names = hand.schema.names
+    # align output column names (aliases may differ for money cols)
+    mapping = dict(zip(sql_spec.schema.names, names))
+    got = {mapping.get(k, k): v for k, v in got.items()}
+    assert rows(got, names) == rows(want, names), f"q{qnum}"
+
+
+def test_sql_q6(window):
+    hand = get_query(6)
+    sql_spec = sql_to_spec(Q6_SQL, nexmark_catalog())
+    got = run_spec(sql_spec, window)
+    want = run_spec(hand, window)
+    g = rows(got, sql_spec.schema.names)
+    w = rows(want, hand.schema.names)
+    # tie order inside ROW_NUMBER is unspecified in SQL; compare sellers and
+    # near-exact averages
+    assert [r[0] for r in g] == [r[0] for r in w]
+    assert np.allclose([r[1] for r in g], [r[1] for r in w], rtol=1e-9)
+
+
+def test_sql_ysb():
+    cfg = YsbConfig(seconds=2, events_per_second=3000)
+    epochs = generate_ysb_epochs(cfg)
+    events = {k: np.concatenate([e["ad_event"][k] for e in epochs])
+              for k in epochs[0]["ad_event"]}
+    tables = {"ad_event": events, "campaign": campaign_table(cfg)}
+
+    sql_spec = sql_to_spec(YSB_SQL, ysb_catalog())
+    ex = LocalExecutor(sql_spec)
+    got = ex.materialize(ex.execute_window(tables))
+
+    hand = ysb_query()
+    ex2 = LocalExecutor(hand)
+    want = ex2.materialize(ex2.execute_window(tables))
+    assert rows(got, ["campaign_id", "count"]) == \
+        rows(want, ["campaign_id", "count"])
+
+
+def test_sql_parse_errors():
+    from flock_tpu.sql.parser import parse_sql
+    with pytest.raises(SyntaxError):
+        parse_sql("SELECT FROM bid")
+    with pytest.raises(SyntaxError):
+        parse_sql("SELEC * FROM bid")
