@@ -67,13 +67,17 @@ def bench_query(qnum: int, seconds: int, eps: int, repeats: int = 3):
         len(next(iter(t[r].values())))
         for t in windows for r in spec.relations if r in t and t[r])
 
+    # all windows run in ONE device program (lax.map over the stacked stream
+    # segment): a single dispatch, so control-path latency (large through the
+    # remote tunnel) is excluded from the throughput measurement
+    out, _ = executor.execute_stacked(staged, check_overflow=False)
+    _np.asarray(out.valid[:1, :1])  # compile+warm-up
+
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        outs = [executor.execute_batches(b, check_overflow=False)
-                for b in staged]
-        # device stream is ordered: forcing the last output to host forces all
-        _np.asarray(outs[-1].valid[:1])
+        out, _ = executor.execute_stacked(staged, check_overflow=False)
+        _np.asarray(out.valid[:1, :1])
         best = min(best, time.perf_counter() - t0)
 
     return {
@@ -89,7 +93,7 @@ def bench_query(qnum: int, seconds: int, eps: int, repeats: int = 3):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--seconds", type=int, default=4)
+    ap.add_argument("--seconds", type=int, default=8)
     ap.add_argument("--eps", type=int, default=1_000_000)
     ap.add_argument("--query", type=int, default=4)
     ap.add_argument("--all", action="store_true",

@@ -28,24 +28,73 @@ def _first_leaf(out):
     return jax.tree.leaves(out)[0]
 
 
-def _time(fn, *args, iters=10):
-    """Times fn including a host readback of one output element.
+_RTT = None
 
-    block_until_ready alone is not trustworthy through the remote-device
-    tunnel (it can resolve before execution completes, yielding >1.0 roofline
-    fractions); materializing a scalar to host forces real completion.
-    """
-    import numpy as np
 
-    np.asarray(_first_leaf(fn(*args)))
-    # amortize the tunnel round-trip: queue `iters` executions (ordered on the
-    # device stream), force completion once, divide.
+def _measure_rtt():
+    """One-dispatch round-trip latency through the device control path (the
+    remote tunnel costs ~tens of ms per dispatch; subtracted from timings)."""
+    global _RTT
+    if _RTT is not None:
+        return _RTT
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.int32)
+    np.asarray(tiny(x)[:1])
     t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    np.asarray(_first_leaf(out)[:1])
-    return (time.perf_counter() - t0) / iters
+    for _ in range(5):
+        np.asarray(tiny(x)[:1])
+    _RTT = (time.perf_counter() - t0) / 5
+    return _RTT
+
+
+def _time(fn, *args, iters=16):
+    """Device time per application, measured as ONE dispatch running the
+    kernel ``iters`` times inside lax.fori_loop with a data dependency
+    (per-dispatch wall timing is round-trip-latency-bound through the remote
+    tunnel, and its async completion lies to block_until_ready)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def chained():
+        def body(i, carry):
+            out = fn(*_perturb(args, carry))
+            leaf = _first_leaf(out)
+            return carry + leaf.reshape(-1)[0].astype(jnp.int32)
+
+        return lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    cf = jax.jit(chained)
+    np.asarray(cf())           # compile + warm
+    rtt = _measure_rtt()
+    t0 = time.perf_counter()
+    np.asarray(cf())
+    total = time.perf_counter() - t0
+    return max((total - rtt) / iters, 1e-9)
+
+
+def _perturb(args, carry):
+    """Inject a zero-valued data dependency into the first array argument so
+    loop iterations serialize without changing values."""
+    import jax.numpy as jnp
+
+    def tag(x):
+        # XOR with the carry's low bit: a real data dependency XLA cannot
+        # hoist out of the loop (a provably-zero perturbation gets folded and
+        # the whole body becomes loop-invariant)
+        if hasattr(x, "dtype") and x.dtype == jnp.int32:
+            return x ^ (carry & 1)
+        return x
+
+    first, *rest = args
+    if isinstance(first, dict):
+        first = {k: tag(v) for k, v in first.items()}
+    else:
+        first = tag(first)
+    return (first, *rest)
 
 
 def main():

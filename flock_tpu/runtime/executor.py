@@ -39,6 +39,17 @@ def _run_plan(plan, agg_capacity: int, tables: dict[str, Batch]):
 
 
 @partial(jax.jit, static_argnums=(0, 1))
+def _run_plan_stacked(plan, agg_capacity: int, stacked: dict[str, Batch]):
+    """Run the plan over W stacked windows ([W, cap] columns) in ONE device
+    program via lax.map — the micro-batch pipeline form: one dispatch drives
+    the whole stream segment, so host→device latency is paid once (and this
+    is the honest way to measure device throughput through a high-latency
+    control path)."""
+    fn = compile_plan(plan, agg_capacity)
+    return jax.lax.map(fn, stacked)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
 def _run_plan_epochs(plan, agg_capacity: int,
                      epoch_tables: list[dict[str, Batch]],
                      static_tables: dict[str, Batch]):
@@ -111,6 +122,20 @@ class LocalExecutor:
                 f"q{self.spec.number}: static capacity exceeded "
                 f"(w={len(epoch_tables)}, caps={caps}, agg={agg_cap})")
         return out
+
+    def execute_stacked(self, windows: list[dict[str, Batch]],
+                        check_overflow: bool = True):
+        """Run W same-capacity windows in one device program (lax.map).
+
+        Returns (stacked output Batch with leading W axis, overflow array).
+        """
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *windows)
+        agg_cap = self.agg_capacity or (
+            max(b.capacity for b in windows[0].values()) + 8192)
+        out, overflow = _run_plan_stacked(self.spec.plan, agg_cap, stacked)
+        if check_overflow and bool(np.asarray(overflow).any()):
+            raise OverflowError(f"q{self.spec.number}: capacity exceeded")
+        return out, overflow
 
     def materialize(self, out: Batch) -> dict[str, np.ndarray]:
         return materialize_columns(self.spec, out.to_numpy())

@@ -23,7 +23,7 @@ Window semantics mirrored from the reference:
 from __future__ import annotations
 
 from collections import defaultdict
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -78,6 +78,89 @@ def generate_epochs(seconds: int, events_per_second: int, generators: int = 1
 class WindowResult:
     tag: tuple          # window identifier, e.g. ("epoch", 3) / ("win", 0, 10)
     columns: dict       # materialized output columns (schema order)
+
+
+@dataclass
+class SessionState:
+    """Session-window bookkeeping (q11): per-bidder open windows.
+
+    Reference counterpart: window/session.rs:64-178 — a fragment more than
+    ``gap`` seconds (second-truncated) after its window's last row closes the
+    window; idle windows time out as epochs advance.
+
+    The state is checkpointable: ``to_payloads``/``from_payloads`` serialize
+    the open windows through the payload codec so a replacement worker resumes
+    mid-stream (the reference's S3 window-state checkpoint analogue,
+    state/s3.rs + actor.rs:391-413).
+    """
+
+    gap: int
+    open_windows: dict = field(default_factory=dict)  # bidder → [fragments]
+    epoch: int = 0
+
+    @staticmethod
+    def _last_ts(frags) -> int:
+        return int(frags[-1]["b_date_time"][-1])
+
+    def advance(self, bids: dict, t: int) -> list[tuple[tuple, list[dict]]]:
+        """Feed one epoch's bids; returns sessions closed by gap/timeout."""
+        emitted = []
+        if len(bids["bidder"]):
+            # per-bidder fragments, in bidder order (HashDiff analogue)
+            order = np.argsort(bids["bidder"], kind="stable")
+            sb = {k: v[order] for k, v in bids.items()}
+            uniq, starts = np.unique(sb["bidder"], return_index=True)
+            bounds = np.append(starts, len(sb["bidder"]))
+            for i, bidder in enumerate(uniq.tolist()):
+                frag = {k: v[bounds[i]:bounds[i + 1]] for k, v in sb.items()}
+                prev = self.open_windows.get(bidder)
+                if prev is not None:
+                    cur_s = int(frag["b_date_time"][0]) // 1000
+                    if cur_s - self._last_ts(prev) // 1000 > self.gap:
+                        emitted.append((("session", bidder, t), prev))
+                        self.open_windows[bidder] = [frag]
+                    else:
+                        prev.append(frag)
+                else:
+                    self.open_windows[bidder] = [frag]
+        # timeout scan (session.rs:136-178): epoch time vs last row time
+        now_s = NexmarkConfig().base_time // 1000 + (t + 1)
+        for bidder in list(self.open_windows):
+            if now_s - self._last_ts(self.open_windows[bidder]) // 1000 > self.gap:
+                emitted.append((("session", bidder, t),
+                                self.open_windows.pop(bidder)))
+        self.epoch = t + 1
+        return emitted
+
+    def flush(self, seconds: int) -> list[tuple[tuple, list[dict]]]:
+        """Close remaining sessions at stream end (bounded-run semantics)."""
+        out = [(("session", b, seconds), f)
+               for b, f in self.open_windows.items()]
+        self.open_windows.clear()
+        return out
+
+    # -- checkpoint / resume --------------------------------------------------
+
+    def to_payloads(self, qid: str):
+        from flock_tpu.runtime.payload import FragmentId, Payload
+
+        out = []
+        items = sorted(self.open_windows.items())
+        for i, (bidder, frags) in enumerate(items):
+            cols = {k: np.concatenate([f[k] for f in frags])
+                    for k in frags[0]}
+            out.append(Payload(
+                FragmentId(qid, i, len(items), shuffle_id=0),
+                cols, metadata={"bidder": int(bidder), "epoch": self.epoch}))
+        return out
+
+    @classmethod
+    def from_payloads(cls, gap: int, payloads) -> "SessionState":
+        st = cls(gap=gap)
+        for p in payloads:
+            st.open_windows[p.metadata["bidder"]] = [dict(p.columns)]
+            st.epoch = max(st.epoch, p.metadata["epoch"])
+        return st
 
 
 class StreamDriver:
@@ -163,41 +246,11 @@ class StreamDriver:
     # -- session windows (q11) ------------------------------------------------
 
     def _run_session(self, epochs) -> list[WindowResult]:
-        gap = self.spec.window[1]
-        open_windows: dict[int, list[dict]] = {}   # bidder → fragments
+        state = SessionState(gap=self.spec.window[1])
         emitted: list[tuple[tuple, list[dict]]] = []
-
-        def last_ts(frags):
-            return int(frags[-1]["b_date_time"][-1])
-
         for t, tables in enumerate(epochs):
-            bids = tables["bid"]
-            if len(bids["bidder"]):
-                # per-bidder fragments, in bidder order (HashDiff analogue)
-                order = np.argsort(bids["bidder"], kind="stable")
-                sb = {k: v[order] for k, v in bids.items()}
-                uniq, starts = np.unique(sb["bidder"], return_index=True)
-                bounds = np.append(starts, len(sb["bidder"]))
-                for i, bidder in enumerate(uniq.tolist()):
-                    frag = {k: v[bounds[i]:bounds[i + 1]] for k, v in sb.items()}
-                    if bidder in open_windows:
-                        prev = open_windows[bidder]
-                        cur_s = int(frag["b_date_time"][0]) // 1000
-                        if cur_s - last_ts(prev) // 1000 > gap:
-                            emitted.append((("session", bidder, t), prev))
-                            open_windows[bidder] = [frag]
-                        else:
-                            prev.append(frag)
-                    else:
-                        open_windows[bidder] = [frag]
-            # timeout scan (session.rs:136-178): epoch time vs last row time
-            now_s = NexmarkConfig().base_time // 1000 + (t + 1)
-            for bidder in list(open_windows):
-                if now_s - last_ts(open_windows[bidder]) // 1000 > gap:
-                    emitted.append((("session", bidder, t),
-                                    open_windows.pop(bidder)))
-        for bidder, frags in open_windows.items():
-            emitted.append((("session", bidder, self.seconds), frags))
+            emitted += state.advance(tables["bid"], t)
+        emitted += state.flush(self.seconds)
 
         # Feed all closed sessions as one device batch with __session ids.
         windows = []

@@ -143,3 +143,24 @@ def test_empty_window():
     res = driver.run([empty])
     assert len(res) == 1
     assert all(len(v) == 0 for v in res[0].columns.values())
+
+
+def test_stacked_execution_matches_sequential(epochs):
+    # lax.map over stacked windows ≡ per-window execution (the one-dispatch
+    # streaming pipeline used by bench.py)
+    spec = get_query(2)
+    from flock_tpu.runtime.executor import LocalExecutor
+    ex = LocalExecutor(spec)
+    caps = {"bid": 1024}
+    staged = [ex.prepare_window(window_tables(epochs, [t], ("bid",)), caps)
+              for t in range(4)]
+    stacked_out, _ = ex.execute_stacked(staged)
+    for t in range(4):
+        want = ex.execute_batches(staged[t])
+        import numpy as np
+        got_valid = np.asarray(stacked_out.valid[t])
+        assert np.array_equal(got_valid, np.asarray(want.valid))
+        for c in want.columns:
+            assert np.array_equal(
+                np.asarray(stacked_out.columns[c][t])[got_valid],
+                np.asarray(want.columns[c])[np.asarray(want.valid)])
