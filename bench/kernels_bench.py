@@ -156,6 +156,17 @@ def main():
            _time(jn, {"k": bkey, "v": bval}, bvalid, {"k": key}, valid),
            n * 13 + span * 8)
 
+    # pallas blocked agg (VMEM-resident span accumulator) vs the XLA version
+    try:
+        from flock_tpu.pallas.agg import pallas_count_max_agg
+        m = jnp.int32(0)
+        pk = jax.jit(lambda k, v, vals: pallas_count_max_agg(
+            k, v, vals, jnp.int32(0), span))
+        report("pallas_agg_count_max",
+               _time(pk, key, valid, val), n * 9 + span * 12)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"kernel": "pallas_agg_count_max", "error": str(e)[:120]}))
+
     # sort (2 keys + 1 payload): comparison sort, model = logn passes is not
     # HBM-roofline-able; report bytes as 3 cols r/w once for reference
     srt = jax.jit(lambda c, v: kernels.sort_rows(c, v, ["k", "v"]))

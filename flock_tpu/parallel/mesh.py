@@ -22,6 +22,20 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), (AXIS,))
 
 
+def make_multihost_mesh() -> Mesh:
+    """Pod-slice mesh spanning all hosts.
+
+    jax.devices() on a multi-host deployment (jax.distributed.initialize on
+    each host) enumerates every chip in the slice; a single flat ``shards``
+    axis lets XLA route intra-slice exchange over ICI and cross-host segments
+    over DCN automatically.  Per-host generator partitions map to that host's
+    local chips (p % n == device index), mirroring the reference's
+    per-partition thread model (SURVEY §7.2 step 6).  All collectives in
+    parallel/shuffle.py are axis-name based and work unchanged.
+    """
+    return Mesh(np.array(jax.devices()), (AXIS,))
+
+
 def shard_spec(extra_dims: int = 0) -> P:
     return P(AXIS, *([None] * extra_dims))
 

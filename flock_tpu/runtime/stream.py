@@ -64,8 +64,17 @@ def generate_epochs(seconds: int, events_per_second: int, generators: int = 1
     cfg = NexmarkConfig(events_per_second=events_per_second,
                         num_event_generators=generators)
     per_epoch: dict[int, list] = defaultdict(list)
-    for p in range(generators):
-        for e in nexmark_generate_partition(cfg, seconds, p):
+    # ctypes releases the GIL during native generation → real thread
+    # parallelism across generator partitions (the reference's per-partition
+    # thread model, nexmark.rs:357-389)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(generators, 8)) as pool:
+        results = list(pool.map(
+            lambda p: nexmark_generate_partition(cfg, seconds, p),
+            range(generators)))
+    for eps in results:
+        for e in eps:
             per_epoch[e.epoch].append(epoch_to_relations(e))
     epochs = []
     for t in range(seconds):
