@@ -111,7 +111,11 @@ def main():
 
     n, span = args.rows, args.span
     rng = np.random.default_rng(0)
-    key = jnp.asarray(rng.integers(0, span - 600, n).astype(np.int32))
+    # keys advance like the generated stream (auction frontier + hot-key
+    # lookback ≤ ~120 ids): exercises the blocked fast path, not the escape
+    # fallback (random keys would measure the scatter safety net instead)
+    frontier = (np.arange(n, dtype=np.int64) * (span - 4096) // n).astype(np.int32)
+    key = jnp.asarray((frontier + rng.integers(-120, 10, n)).clip(0).astype(np.int32))
     val = jnp.asarray(rng.integers(100, 10**8, n).astype(np.int32))
     ts = jnp.asarray(rng.integers(0, 10**9, n).astype(np.int32))
     valid = jnp.asarray(np.ones(n, bool))
