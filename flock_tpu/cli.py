@@ -44,30 +44,20 @@ def cmd_nexmark(args) -> int:
     t0 = time.perf_counter()
     spec = get_query(args.query)
     if args.distributed:
-        from flock_tpu.parallel.executor import DistributedExecutor
-        from flock_tpu.runtime.executor import materialize_columns
+        from flock_tpu.parallel.stream import DistStreamDriver
         from flock_tpu.runtime.stream import generate_epoch_parts
-        from flock_tpu.runtime.tables import concat_relations, default_side_input
 
         parts = generate_epoch_parts(args.seconds, args.eps, args.generators)
-        ex = DistributedExecutor(spec, args.shards)
-        # one window over the whole run (windowed drivers are single-device
-        # for now; the SPMD path parallelizes within a window)
-        shards = [[] for _ in range(args.shards)]
-        for t in range(args.seconds):
-            for p, part in enumerate(parts[t]):
-                shards[p % args.shards].append(part)
-        rels = tuple(r for r in spec.relations if r != "side_input")
-        shard_tables = []
-        for i, ps in enumerate(shards):
-            tb = dict(concat_relations(ps, rels))
-            if "side_input" in spec.relations:
-                si = default_side_input()
-                tb["side_input"] = si if i == 0 else \
-                    {k: v[:0] for k, v in si.items()}
-            shard_tables.append(tb)
-        out = materialize_columns(spec, ex.execute_window(shard_tables))
-        _print_window(("all",), out, spec.schema, args.show)
+        driver = DistStreamDriver(spec, args.seconds, args.shards)
+        results = driver.run(parts)
+        total = 0
+        for r in results:
+            total += len(next(iter(r.columns.values()))) if r.columns else 0
+            _print_window(r.tag, r.columns, spec.schema, args.show)
+            if sink:
+                sink.write(r.tag, r.columns, spec.schema)
+        print(f"q{args.query} distributed×{args.shards}: {len(results)} "
+              f"windows, {total} output rows")
     else:
         results = run_nexmark(args.query, args.seconds, args.eps,
                               args.generators)
@@ -96,6 +86,28 @@ def cmd_ysb(args) -> int:
     for r in results:
         _print_window(r.tag, r.columns, spec.schema, args.show)
     print(f"ysb: {len(results)} windows; elapsed {time.perf_counter()-t0:.2f}s")
+    return 0
+
+
+def cmd_explain(args) -> int:
+    """Show a query's stage DAG (EXPLAIN analogue of the reference's
+    graphviz dumps, benchmarks/src/nexmark/main.rs:467-601)."""
+    from flock_tpu.planner import plan_query_stages
+
+    if args.sql:
+        from flock_tpu.sql.catalog import nexmark_catalog, ysb_catalog
+        from flock_tpu.sql.lower import sql_to_spec
+        cat = ysb_catalog() if args.dataset == "ysb" else nexmark_catalog()
+        spec = sql_to_spec(args.sql, cat)
+        print(f"-- SQL plan ({args.dataset})")
+    else:
+        from flock_tpu.queries.nexmark import QUERIES, get_query
+        if args.query not in QUERIES:
+            print(f"error: unknown query q{args.query}", file=sys.stderr)
+            return 2
+        spec = get_query(args.query)
+        print(f"-- q{args.query} (window={spec.window})")
+    print(plan_query_stages(spec.plan).explain())
     return 0
 
 
@@ -194,6 +206,12 @@ def main(argv=None) -> int:
     yr.add_argument("-g", "--generators", type=int, default=1)
     yr.add_argument("--show", type=int, default=0)
     yr.set_defaults(fn=cmd_ysb)
+
+    ex = sub.add_parser("explain")
+    ex.add_argument("-q", "--query", type=int, default=4)
+    ex.add_argument("--sql", default=None)
+    ex.add_argument("--dataset", choices=["nexmark", "ysb"], default="nexmark")
+    ex.set_defaults(fn=cmd_explain)
 
     fq = sub.add_parser("fsql")
     fq.add_argument("query", nargs="?", default=None,

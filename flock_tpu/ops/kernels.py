@@ -188,6 +188,12 @@ def dense_group_aggregate(
         block=min(AGG_BLOCK, k.shape[0]), s_loc=AGG_S_LOC)
     b_out[key] = b_out.pop("__key")
 
+    import os
+    if os.environ.get("FLOCK_TPU_NO_FALLBACK"):
+        # bench mode: no runtime safety net (halves compiled program size);
+        # escapes surface as overflow
+        return b_out, b_valid, escape
+
     # locality broke (e.g. post-hash-shuffle keys): fall back to the scatter
     # path at runtime via lax.cond — blocked is the fast path and always
     # runs; the scatter safety net only executes when rows escaped.
@@ -369,6 +375,13 @@ def lookup_join(
         jnp.pad(pk, (0, pad)), jnp.pad(probe_valid, (0, pad)),
         take_list, block=min(AGG_BLOCK, n + pad),
         s_loc=min(AGG_S_LOC, span))
+
+    import os
+    if os.environ.get("FLOCK_TPU_NO_FALLBACK"):
+        out = dict(probe_cols)
+        for i, src in enumerate(take_list):
+            out[take[src]] = gathered[src][:n]
+        return out, hit[:n], ovf_b | escape
 
     # probe-locality safety net: per-row gather (slow but general), executed
     # only when a block escaped its window (lax.cond)

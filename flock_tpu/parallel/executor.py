@@ -18,7 +18,7 @@ Lowering rules (the DistributedPlanner analogue, planner.rs:26-59):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ boundaries sit at final aggregates and join builds, planner.py).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 import jax.numpy as jnp

@@ -116,7 +116,7 @@ def plan_query_stages(root: Node) -> QueryDag:
             nxt = dag.new_stage()
             nxt.ops.append(
                 f"LookupJoin[{node.build_key}={node.probe_key}]"
-                + (" + interval" if node.post_filter else ""))
+                + (" + post-filter" if node.post_filter else ""))
             dag.edges.append((b.id, nxt.id, "broadcast(build)"))
             return nxt
         raise TypeError(type(node))

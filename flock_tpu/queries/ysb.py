@@ -15,7 +15,7 @@ import numpy as np
 
 from flock_tpu.batch import Schema
 from flock_tpu.datagen.ysb import EVENT_TYPE_VIEW, YsbConfig
-from flock_tpu.plan import Aggregate, Filter, Join, Project, Scan
+from flock_tpu.plan import Aggregate, Filter, Join, Scan
 from flock_tpu.queries.nexmark import QuerySpec
 
 

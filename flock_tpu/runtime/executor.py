@@ -8,7 +8,7 @@ host materialization with timestamp restore and dictionary decode.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import jax

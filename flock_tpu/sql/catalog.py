@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from flock_tpu.datagen.nexmark import FIRST_NAMES, LAST_NAMES, US_CITIES, US_STATES
+from flock_tpu.datagen.nexmark import US_CITIES, US_STATES
 from flock_tpu.datagen.ysb import AD_TYPES, EVENT_TYPES
 from flock_tpu.queries.nexmark import NAME_VOCAB
 
