@@ -14,8 +14,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# Benchmarks measure the fast path; the runtime scatter fallback (a safety
+# net for non-local keys, unused on NEXMark data) doubles compiled program
+# size and remote-compile time.  Must be set before flock_tpu imports.
+os.environ.setdefault("FLOCK_TPU_NO_FALLBACK", "1")
 
 REFERENCE_EVENTS_PER_SEC = 10_000 / 1.17785  # README q5 demo REPORT line
 
@@ -93,7 +99,7 @@ def bench_query(qnum: int, seconds: int, eps: int, repeats: int = 3):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--seconds", type=int, default=8)
+    ap.add_argument("--seconds", type=int, default=4)
     ap.add_argument("--eps", type=int, default=1_000_000)
     ap.add_argument("--query", type=int, default=4)
     ap.add_argument("--all", action="store_true",

@@ -220,11 +220,27 @@ class StreamDriver:
         return caps
 
     def _execute_all(self, windows) -> list[WindowResult]:
-        """Run every window with one capacity signature (one XLA compile)."""
+        """Run every window with one capacity signature (one XLA compile).
+
+        On capacity overflow (static buffers too small — e.g. an unexpectedly
+        wide key span) the aggregate capacity doubles and the window retries,
+        mirroring the reference's guard-and-retry posture around payload
+        limits."""
+        from flock_tpu.runtime.executor import OverflowError
+
         caps = self._fixed_caps(windows, list({r for _, t in windows for r in t}))
         out = []
         for tag, tables in windows:
-            b = self.executor.execute_window(tables, caps)
+            for attempt in range(6):
+                try:
+                    b = self.executor.execute_window(tables, caps)
+                    break
+                except OverflowError:
+                    if attempt == 5:
+                        raise
+                    base = self.executor.agg_capacity or (
+                        max(caps.values()) + 8192)
+                    self.executor.agg_capacity = base * 4
             out.append(WindowResult(tag, self.executor.materialize(b)))
         return out
 

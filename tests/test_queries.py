@@ -164,3 +164,15 @@ def test_stacked_execution_matches_sequential(epochs):
             assert np.array_equal(
                 np.asarray(stacked_out.columns[c][t])[got_valid],
                 np.asarray(want.columns[c])[np.asarray(want.valid)])
+
+
+def test_overflow_auto_retry(epochs):
+    # a deliberately tiny aggregate capacity must overflow, then auto-widen
+    spec = get_query(12)
+    driver = StreamDriver(spec, SECONDS, agg_capacity=128)
+    results = driver.run(epochs)
+    total = sum(len(next(iter(r.columns.values()))) for r in results)
+    # same rows as the default-capacity run
+    want = StreamDriver(spec, SECONDS).run(epochs)
+    want_total = sum(len(next(iter(r.columns.values()))) for r in want)
+    assert total == want_total > 0
