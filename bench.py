@@ -73,23 +73,34 @@ def bench_query(qnum: int, seconds: int, eps: int, repeats: int = 3):
         len(next(iter(t[r].values())))
         for t in windows for r in spec.relations if r in t and t[r])
 
-    # all windows run in ONE device program (lax.map over the stacked stream
-    # segment): a single dispatch, so control-path latency (large through the
-    # remote tunnel) is excluded from the throughput measurement
-    out, _ = executor.execute_stacked(staged, check_overflow=False)
-    _np.asarray(out.valid[:1, :1])  # compile+warm-up
+    # Windows dispatch sequentially with one host readback at the end (the
+    # device stream is ordered).  Through the remote tunnel each dispatch
+    # costs ~tens of ms of control latency; windows are sized large (millions
+    # of rows) so compute dominates.  The one-dispatch lax.map pipeline
+    # (executor.execute_stacked) excludes control latency entirely but its
+    # remote compile is prohibitively slow through the tunnel — on a local
+    # TPU deployment prefer it.
+    tiny = jax.jit(lambda x: x + 1)
+    x0 = jax.device_put(_np.zeros(8, _np.int32))
+    _np.asarray(tiny(x0)[:1])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _np.asarray(tiny(x0)[:1])
+    rtt = (time.perf_counter() - t0) / 3
 
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out, _ = executor.execute_stacked(staged, check_overflow=False)
-        _np.asarray(out.valid[:1, :1])
+        outs = [executor.execute_batches(b, check_overflow=False)
+                for b in staged]
+        _np.asarray(outs[-1].valid[:1])
         best = min(best, time.perf_counter() - t0)
 
     return {
         "query": qnum,
         "rows_in": rows_in,
-        "device_time_s": best,
+        "wall_time_s": best,
+        "rtt_s": round(rtt, 4),
         "rows_per_s": rows_in / best,
         "gen_time_s": gen_dt,
         "feed_time_s": feed_dt,
@@ -100,7 +111,7 @@ def bench_query(qnum: int, seconds: int, eps: int, repeats: int = 3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=int, default=4)
-    ap.add_argument("--eps", type=int, default=1_000_000)
+    ap.add_argument("--eps", type=int, default=4_000_000)
     ap.add_argument("--query", type=int, default=4)
     ap.add_argument("--all", action="store_true",
                     help="also print per-query results for q0..q9 to stderr")

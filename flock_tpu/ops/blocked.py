@@ -39,9 +39,21 @@ I32_MIN = np.int32(-(2**31))
 
 
 def _limbs(v: jax.Array):
-    """Split non-negative int32 into two 16-bit limbs (f32-exact)."""
+    """Split non-negative int32 into two 16-bit limbs (f32-exact).
+
+    Safe ONLY where each output element receives at most one contribution
+    (the join gather); block-level SUMS must use ``_limbs8`` — a 16-bit limb
+    summed over a 4096-row block can reach 2.7e8, beyond f32's 2^24 exact
+    integer range."""
     v = v.astype(jnp.int32)
     return (v & 0xFFFF).astype(jnp.float32), (v >> 16).astype(jnp.float32)
+
+
+def _limbs8(v: jax.Array):
+    """Four 8-bit limbs: block sums stay ≤ 4096·255 ≈ 2^20 < 2^24 (f32-exact
+    under MXU accumulation)."""
+    v = v.astype(jnp.int32)
+    return [((v >> (8 * i)) & 0xFF).astype(jnp.float32) for i in range(4)]
 
 
 def blocked_local_agg(
@@ -113,15 +125,15 @@ def blocked_local_agg(
             if fn == "count":
                 upd = win + cnt
             elif fn == "count_sum":
-                lo, hi = _limbs(colvals[in_col])
-                slo = jnp.dot(lo, oh_f, preferred_element_type=jnp.float32)
-                shi = jnp.dot(hi, oh_f, preferred_element_type=jnp.float32)
-                upd = win + slo.astype(jnp.int32) + (shi.astype(jnp.int32) << 16)
+                parts = [jnp.dot(l, oh_f, preferred_element_type=jnp.float32)
+                         for l in _limbs8(colvals[in_col])]
+                upd = win + sum(p.astype(jnp.int32) << (8 * i)
+                                for i, p in enumerate(parts))
             elif fn == "sum":
-                lo, hi = _limbs(colvals[in_col])
-                slo = jnp.dot(lo, oh_f, preferred_element_type=jnp.float32)
-                shi = jnp.dot(hi, oh_f, preferred_element_type=jnp.float32)
-                upd = win + slo.astype(jnp.int64) + (shi.astype(jnp.int64) << 16)
+                parts = [jnp.dot(l, oh_f, preferred_element_type=jnp.float32)
+                         for l in _limbs8(colvals[in_col])]
+                upd = win + sum(p.astype(jnp.int64) << (8 * i)
+                                for i, p in enumerate(parts))
             elif fn == "min":
                 v = jnp.where(onehot, colvals[in_col][:, None], I32_MAX)
                 upd = jnp.minimum(win, jnp.min(v, axis=0))
@@ -138,6 +150,22 @@ def blocked_local_agg(
     out_cols = {k: v for k, v in outs.items()}
     out_cols["__key"] = m + jnp.arange(out_capacity, dtype=keys.dtype)
     return out_cols, cnt > 0, escape
+
+
+def _chunked_limb_sum(v: jax.Array, onehot: jax.Array, acc_dtype):
+    """Exact integer sum per one-hot column: 8-bit limb MXU contractions over
+    ≤4096-row chunks (keeps every f32 partial below 2^24), accumulated in
+    integer dtype."""
+    n = v.shape[0]
+    span = onehot.shape[1]
+    chunk = 4096
+    total = jnp.zeros((span,), acc_dtype)
+    for start in range(0, n, chunk):
+        oh = onehot[start:start + chunk].astype(jnp.float32)
+        for i, limb in enumerate(_limbs8(v[start:start + chunk])):
+            p = jnp.dot(limb, oh, preferred_element_type=jnp.float32)
+            total = total + (p.astype(acc_dtype) << (8 * i))
+    return total
 
 
 def full_onehot_agg(
@@ -169,15 +197,11 @@ def full_onehot_agg(
         if fn == "count":
             out_cols[out] = cnt
         elif fn == "count_sum":
-            lo, hi = _limbs(agg_cols[in_col])
-            slo = jnp.dot(lo, oh_f, preferred_element_type=jnp.float32)
-            shi = jnp.dot(hi, oh_f, preferred_element_type=jnp.float32)
-            out_cols[out] = slo.astype(jnp.int32) + (shi.astype(jnp.int32) << 16)
+            out_cols[out] = _chunked_limb_sum(
+                agg_cols[in_col], onehot, jnp.int32)
         elif fn == "sum":
-            lo, hi = _limbs(agg_cols[in_col])
-            slo = jnp.dot(lo, oh_f, preferred_element_type=jnp.float32)
-            shi = jnp.dot(hi, oh_f, preferred_element_type=jnp.float32)
-            out_cols[out] = slo.astype(jnp.int64) + (shi.astype(jnp.int64) << 16)
+            out_cols[out] = _chunked_limb_sum(
+                agg_cols[in_col], onehot, jnp.int64)
         elif fn == "min":
             out_cols[out] = jnp.min(
                 jnp.where(onehot, agg_cols[in_col][:, None], I32_MAX), axis=0)

@@ -1,0 +1,57 @@
+"""Direct tests of the blocked one-hot kernels, including sum exactness under
+hot-key concentration (8-bit limb regression: a 16-bit limb summed over a
+4096-row block exceeds f32's 2^24 exact range)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flock_tpu.ops import kernels
+
+
+def _agg(cols, valid, key, aggs, cap):
+    f = jax.jit(lambda c, v: kernels.group_aggregate(c, v, [key], aggs, cap),
+                static_argnums=())
+    out, ovalid, ovf = f(cols, valid)
+    return ({k: np.asarray(v) for k, v in out.items()},
+            np.asarray(ovalid), bool(ovf))
+
+
+def test_hot_key_sum_exact_blocked():
+    # one hot key receives thousands of large prices within single blocks
+    n = 16384
+    rng = np.random.default_rng(0)
+    keys = np.where(rng.random(n) < 0.6, 5000,
+                    5000 + (np.arange(n) // 8) % 800).astype(np.int32)
+    vals = rng.integers(9 * 10**7, 10**8, n).astype(np.int32)
+    valid = np.ones(n, bool)
+    out, ovalid, ovf = _agg(
+        {"k": jnp.asarray(keys), "v": jnp.asarray(vals)},
+        jnp.asarray(valid), "k",
+        [("v", "sum", "s"), (None, "count", "c")], 8192)
+    assert not ovf
+    m = int(keys.min())
+    for key_val in (5000, 5001, 5400):
+        idx = key_val - m
+        want_sum = int(vals[keys == key_val].astype(np.int64).sum())
+        want_cnt = int((keys == key_val).sum())
+        if want_cnt:
+            assert int(out["s"][idx]) == want_sum, key_val
+            assert int(out["c"][idx]) == want_cnt
+
+
+def test_hot_key_sum_exact_full_onehot():
+    # small span → full one-hot path; >4096 rows on one key
+    n = 12288
+    rng = np.random.default_rng(1)
+    keys = np.full(n, 7, np.int32)
+    keys[::5] = 3
+    vals = rng.integers(5 * 10**7, 10**8, n).astype(np.int32)
+    out, ovalid, ovf = _agg(
+        {"k": jnp.asarray(keys), "v": jnp.asarray(vals)},
+        jnp.asarray(np.ones(n, bool)), "k",
+        [("v", "sum", "s")], 64)
+    assert not ovf
+    for key_val in (3, 7):
+        want = int(vals[keys == key_val].astype(np.int64).sum())
+        assert int(out["s"][key_val - 3]) == want
