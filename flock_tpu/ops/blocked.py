@@ -276,3 +276,110 @@ def blocked_local_join(
         step, build_min_key != build_min_key, (kb, vb))
     out = {c: g.reshape(n) for c, g in zip(take, gathered)}
     return out, hits.reshape(n), escape
+
+
+def blocked_join_aggregate(
+    build_slot_cols: dict[str, jax.Array],   # [span] per-slot build columns
+    build_present: jax.Array,                # bool [span]
+    build_min_key: jax.Array,                # scalar int32
+    probe_cols: dict[str, jax.Array],
+    probe_valid: jax.Array,
+    probe_key: str,
+    replay,            # fn(bcast_cols, pair [B,S_loc]) -> (cols, pair)
+    aggs: list[tuple[str, str, str]],        # over replayed (broadcast) cols
+    out_capacity: int,
+    block: int = 4096,
+    s_loc: int = 1024,
+    margin: int = 512,
+):
+    """Fused lookup-join + filter + grouped aggregation in one pass.
+
+    The join's matched pairs are never materialized: each probe block forms a
+    ``[B, S_loc]`` pair mask (one-hot key match ∧ replayed filters, e.g. the
+    q4/q9 interval predicate) and aggregates directly into span-slot
+    accumulators.  ``replay`` re-executes the plan nodes between the Join and
+    the Aggregate on a *broadcast* column dict — probe columns shaped [B, 1],
+    build slot-window columns shaped [1, S_loc] — so arbitrary filter/project
+    lambdas apply unchanged via numpy broadcasting.
+
+    Aggregated columns may come from either side (probe cols broadcast down
+    columns, build cols down rows).  Returns (out_cols, out_valid, escape);
+    slot i holds key ``build_min_key + i``.
+    """
+    span = build_present.shape[0]
+    n = probe_valid.shape[0]
+    assert n % block == 0
+    nb = n // block
+    iota = jnp.arange(s_loc, dtype=jnp.int32)
+    z32 = (build_min_key * 0).astype(jnp.int32)
+
+    pk_b = probe_cols[probe_key].reshape(nb, block)
+    pv_b = probe_valid.reshape(nb, block)
+    pcols_b = {k: v.reshape(nb, block) for k, v in probe_cols.items()}
+
+    outs: dict[str, jax.Array] = {}
+    for in_col, fn, out in aggs:
+        if fn in ("count", "count_sum"):
+            outs[out] = jnp.zeros((out_capacity,), jnp.int32) + z32
+        elif fn == "sum":
+            outs[out] = jnp.zeros((out_capacity,), jnp.int64) + z32.astype(jnp.int64)
+        elif fn == "min":
+            outs[out] = jnp.full((out_capacity,), I32_MAX, jnp.int32) + z32
+        elif fn == "max":
+            outs[out] = jnp.full((out_capacity,), I32_MIN, jnp.int32) + z32
+        else:
+            raise ValueError(fn)
+    outs["__cnt"] = jnp.zeros((out_capacity,), jnp.int32) + z32
+
+    def step(carry, xs):
+        outs, escape = carry
+        kblk, vblk, pcolblk = xs
+        rel_all = kblk - build_min_key
+        base = jnp.min(jnp.where(vblk, rel_all, I32_MAX))
+        base = jnp.clip(base - margin, 0, max(span - s_loc, 0))
+        rel = rel_all - base
+        ok = vblk & (rel >= 0) & (rel < s_loc)
+        escape = escape | jnp.any(vblk & ~ok)
+        rel_c = jnp.where(ok, rel, s_loc)
+        onehot = rel_c[:, None] == iota[None, :]
+
+        pres_w = lax.dynamic_slice(build_present, (base,), (s_loc,))
+        pair = onehot & pres_w[None, :]
+
+        # broadcast dict: probe cols [B,1], build window cols [1,S_loc]
+        bcast = {k: v[:, None] for k, v in pcolblk.items()}
+        for c, arr in build_slot_cols.items():
+            bcast[c] = lax.dynamic_slice(arr, (base,), (s_loc,))[None, :]
+        bcast, pair = replay(bcast, pair)
+
+        new = {}
+        pair_f = pair.astype(jnp.float32)
+        cnt = jnp.sum(pair, axis=0, dtype=jnp.int32)
+        for in_col, fn, out in aggs + [(None, "count", "__cnt")]:
+            win = lax.dynamic_slice(outs[out], (base,), (s_loc,))
+            if fn in ("count", "count_sum"):
+                upd = win + cnt
+            elif fn == "sum":
+                col = jnp.broadcast_to(bcast[in_col],
+                                       (block, s_loc)).astype(jnp.int32)
+                acc = jnp.zeros((s_loc,), jnp.int64)
+                for i in range(4):
+                    limb = ((col >> (8 * i)) & 0xFF).astype(jnp.float32)
+                    p = jnp.sum(limb * pair_f, axis=0, dtype=jnp.float32)
+                    acc = acc + (p.astype(jnp.int64) << (8 * i))
+                upd = win + acc
+            elif fn == "min":
+                v = jnp.where(pair, bcast[in_col], I32_MAX)
+                upd = jnp.minimum(win, jnp.min(v, axis=0))
+            elif fn == "max":
+                v = jnp.where(pair, bcast[in_col], I32_MIN)
+                upd = jnp.maximum(win, jnp.max(v, axis=0))
+            new[out] = lax.dynamic_update_slice(outs[out], upd, (base,))
+        return (new, escape), None
+
+    (outs, escape), _ = lax.scan(
+        step, (outs, build_min_key != build_min_key), (pk_b, pv_b, pcols_b))
+
+    cnt = outs.pop("__cnt")
+    outs["__key"] = build_min_key + jnp.arange(out_capacity, dtype=jnp.int32)
+    return outs, cnt > 0, escape

@@ -203,7 +203,85 @@ def lower(node: Node, tables: dict[str, Batch], agg_capacity: int | None = None)
         cols, valid, ovf = kernels.compact(c.cols, c.valid, node.out_capacity)
         return Lowered(cols, valid, c.overflow | ovf)
 
+    if isinstance(node, FusedJoinAggregate):
+        return _lower_fused(node, tables, agg_capacity)
+
     raise TypeError(f"unknown plan node {type(node)}")
+
+
+def _lower_fused(node: "FusedJoinAggregate", tables, agg_capacity) -> Lowered:
+    from flock_tpu.ops import blocked
+    from flock_tpu.ops.kernels import AGG_BLOCK, AGG_S_LOC, I32_MAX
+
+    jn = node.join
+    b = lower(jn.build, tables, agg_capacity)
+    p = lower(jn.probe, tables, agg_capacity)
+
+    span = b.valid.shape[0] + 8192
+    take = dict(jn.take)
+    slot_aggs = [(src, "max", src) for src in take]
+    slots, present, ovf_b = kernels.dense_group_aggregate(
+        {jn.build_key: b.cols[jn.build_key],
+         **{s: b.cols[s] for s in take}},
+        b.valid, jn.build_key, slot_aggs, span)
+    m = jnp.min(jnp.where(b.valid, b.cols[jn.build_key], I32_MAX))
+    slot_cols = {dst: slots[src] for src, dst in take.items()}
+
+    middle = node.middle
+    post = jn.post_filter
+
+    def replay(bcast, pair):
+        cols = dict(bcast)
+        if post is not None:
+            pair = pair & post(cols)
+        for nd in middle:
+            if isinstance(nd, Filter):
+                pair = pair & nd.pred(cols)
+            else:  # Project
+                cols = {nm: (cols[e] if isinstance(e, str) else e(cols))
+                        for nm, e in nd.exprs}
+        return cols, pair
+
+    n = p.valid.shape[0]
+    pad = (-n) % AGG_BLOCK
+    pcols = {k: jnp.pad(v, (0, pad)) for k, v in p.cols.items()}
+    pvalid = jnp.pad(p.valid, (0, pad))
+    out, ovalid, esc = blocked.blocked_join_aggregate(
+        slot_cols, present, m, pcols, pvalid, jn.probe_key, replay,
+        list(node.aggs), span, block=min(AGG_BLOCK, n + pad),
+        s_loc=AGG_S_LOC)
+    out[node.group_key] = out.pop("__key")
+    valid = ovalid & present
+
+    import os
+    needs_fb = esc | ovf_b
+    if os.environ.get("FLOCK_TPU_NO_FALLBACK") or node.fallback is None:
+        return Lowered(out, valid, b.overflow | p.overflow | needs_fb)
+
+    # escape/slot-overflow safety net: re-run the ORIGINAL unfused
+    # Aggregate(…(Join)) subtree via lax.cond, sized to the fused span so the
+    # branch shapes agree (rows are (key, value) pairs either way — slot
+    # alignment differs, semantics don't)
+    import dataclasses
+
+    from jax import lax
+
+    fb_node = dataclasses.replace(node.fallback, out_capacity=span)
+    names = sorted(out)
+
+    def esc_branch():
+        fb = lower(fb_node, tables, span)
+        return (tuple(fb.cols[nm] for nm in names)
+                + (fb.valid, fb.overflow.reshape(())))
+
+    def ok_branch():
+        return (tuple(out[nm] for nm in names)
+                + (valid, (needs_fb & False).reshape(())))
+
+    picked = lax.cond(needs_fb, esc_branch, ok_branch)
+    out2 = dict(zip(names, picked[:-2]))
+    return Lowered(out2, picked[-2],
+                   b.overflow | p.overflow | picked[-1])
 
 
 def compile_plan(root: Node, agg_capacity: int | None = None):
@@ -213,6 +291,8 @@ def compile_plan(root: Node, agg_capacity: int | None = None):
     batch capacities (the stream driver reuses a handful of capacity buckets
     to bound recompilation).
     """
+
+    root = fuse_join_aggregates(root)
 
     def fn(tables: dict[str, Batch]):
         out = lower(root, tables, agg_capacity)
@@ -232,3 +312,86 @@ def walk(root: Node):
 
     rec(root)
     return seen
+
+
+@dataclass(frozen=True)
+class FusedJoinAggregate(Node):
+    """Join + (filters/projections) + grouped aggregation fused into one
+    blocked pass (ops/blocked.blocked_join_aggregate) — joined rows are never
+    materialized.  Produced by ``fuse_join_aggregates`` when an Aggregate's
+    single group key is the join key of a lookup Join below it (the
+    winning-bid core of q4/q9)."""
+
+    join: Join
+    middle: tuple            # Filter/Project chain, join-side first
+    group_key: str
+    aggs: tuple
+    fallback: Node = None    # the original Aggregate subtree (escape path)
+    out_capacity: int | None = None
+
+    def inputs(self):
+        return (self.join,)
+
+
+def fuse_join_aggregates(node: Node) -> Node:
+    """Rewrite Aggregate(…Filter/Project…(Join)) patterns into
+    FusedJoinAggregate when the group key is the join key.  Disabled with
+    FLOCK_TPU_NO_FUSE=1."""
+    import os
+
+    if os.environ.get("FLOCK_TPU_NO_FUSE"):
+        return node
+
+    def rewrite(n: Node) -> Node:
+        if isinstance(n, Aggregate) and len(n.group_keys) == 1:
+            chain = []
+            cur = n.child
+            while isinstance(cur, (Filter, Project)):
+                chain.append(cur)
+                cur = cur.child
+            if isinstance(cur, Join):
+                # map the group key down through projections to the join
+                key = n.group_keys[0]
+                k = key
+                resolvable = True
+                for nd in chain:  # top-down
+                    if isinstance(nd, Project):
+                        src = dict(nd.exprs).get(k)
+                        if not isinstance(src, str):
+                            resolvable = False
+                            break
+                        k = src
+                int_aggs = all(fn in ("count", "count_sum", "sum", "min", "max")
+                               for _, fn, _ in n.aggs)
+                if resolvable and int_aggs and \
+                        k in (cur.probe_key, cur.build_key):
+                    join = Join(build=rewrite(cur.build),
+                                probe=rewrite(cur.probe),
+                                build_key=cur.build_key,
+                                probe_key=cur.probe_key,
+                                take=cur.take, post_filter=cur.post_filter)
+                    return FusedJoinAggregate(
+                        join=join, middle=tuple(reversed(chain)),
+                        group_key=key, aggs=n.aggs, fallback=n,
+                        out_capacity=n.out_capacity)
+        # generic recursion
+        if isinstance(n, Aggregate):
+            return Aggregate(rewrite(n.child), n.group_keys, n.aggs, n.mode,
+                             n.out_capacity)
+        if isinstance(n, Filter):
+            return Filter(rewrite(n.child), n.pred, n.label)
+        if isinstance(n, Project):
+            return Project(rewrite(n.child), n.exprs)
+        if isinstance(n, Join):
+            return Join(rewrite(n.build), rewrite(n.probe), n.build_key,
+                        n.probe_key, n.take, n.post_filter)
+        if isinstance(n, Rank):
+            return Rank(rewrite(n.child), n.group_key, n.order_col,
+                        n.descending, n.rank_name, n.tiebreak)
+        if isinstance(n, Sort):
+            return Sort(rewrite(n.child), n.keys, n.descending)
+        if isinstance(n, Compact):
+            return Compact(rewrite(n.child), n.out_capacity)
+        return n
+
+    return rewrite(node)
