@@ -250,11 +250,16 @@ def blocked_local_join(
     def step(escape, xs):
         kblk, vblk = xs
         rel_all = kblk - build_min_key
-        base = jnp.min(jnp.where(vblk, rel_all, I32_MAX))
+        # keys outside the whole build span can never match — they are join
+        # MISSES, not locality escapes (e.g. bids referencing auctions from
+        # an earlier window); only in-span keys outside the block's window
+        # trigger the fallback
+        candidate = vblk & (rel_all >= 0) & (rel_all < span)
+        base = jnp.min(jnp.where(candidate, rel_all, I32_MAX))
         base = jnp.clip(base - margin, 0, max(span - s_loc, 0))
         rel = rel_all - base
-        ok = vblk & (rel >= 0) & (rel < s_loc)
-        escape = escape | jnp.any(vblk & ~ok)
+        ok = candidate & (rel >= 0) & (rel < s_loc)
+        escape = escape | jnp.any(candidate & ~ok)
         rel_c = jnp.where(ok, rel, s_loc)
         onehot = rel_c[:, None] == iota[None, :]
         oh_f = onehot.astype(jnp.float32)
@@ -335,11 +340,14 @@ def blocked_join_aggregate(
         outs, escape = carry
         kblk, vblk, pcolblk = xs
         rel_all = kblk - build_min_key
-        base = jnp.min(jnp.where(vblk, rel_all, I32_MAX))
+        # out-of-span keys are join misses, not escapes (see
+        # blocked_local_join)
+        candidate = vblk & (rel_all >= 0) & (rel_all < span)
+        base = jnp.min(jnp.where(candidate, rel_all, I32_MAX))
         base = jnp.clip(base - margin, 0, max(span - s_loc, 0))
         rel = rel_all - base
-        ok = vblk & (rel >= 0) & (rel < s_loc)
-        escape = escape | jnp.any(vblk & ~ok)
+        ok = candidate & (rel >= 0) & (rel < s_loc)
+        escape = escape | jnp.any(candidate & ~ok)
         rel_c = jnp.where(ok, rel, s_loc)
         onehot = rel_c[:, None] == iota[None, :]
 

@@ -33,11 +33,14 @@ from flock_tpu.plan import (
     Aggregate,
     Compact,
     Filter,
+    FusedJoinAggregate,
     Join,
     Node,
     Project,
     Rank,
     Scan,
+    fuse_join_aggregates,
+    fused_local_pass,
 )
 from flock_tpu.queries.nexmark import QuerySpec
 from flock_tpu.runtime.executor import OverflowError
@@ -120,6 +123,24 @@ def lower_dist(node: Node, tables: dict, ctx: _Ctx):
         cols, valid, o2 = kernels.compact(cols, valid, node.out_capacity)
         return cols, valid, ovf | o2
 
+    if isinstance(node, FusedJoinAggregate):
+        # broadcast the build side, run the fused pass locally over the
+        # shard's probe rows (a per-shard PARTIAL), then shuffle + final
+        # re-aggregate — the same two-phase split as a plain Aggregate
+        bcols, bvalid, o1 = lower_dist(node.join.build, tables, ctx)
+        gcols, gvalid = broadcast_gather(bcols, bvalid, ctx.axis)
+        pcols, pvalid, o2 = lower_dist(node.join.probe, tables, ctx)
+        out, valid, ovf_b, esc, span = fused_local_pass(
+            node, gcols, gvalid, pcols, pvalid)
+        per_dest = min(span, max(4 * (span // ctx.n_shards), 2048))
+        scols, svalid, o3 = all_to_all_shuffle(
+            out, valid, [node.group_key], ctx.n_shards,
+            per_dest_cap=per_dest, axis=ctx.axis)
+        fcols, fvalid, o4 = kernels.group_aggregate(
+            scols, svalid, [node.group_key],
+            list(_final_aggs(node.aggs)), span)
+        return fcols, fvalid, o1 | o2 | ovf_b | esc | o3 | o4
+
     raise TypeError(f"unsupported distributed node {type(node)}")
 
 
@@ -150,7 +171,7 @@ class DistributedExecutor:
         if key in _DIST_COMPILED:
             return _DIST_COMPILED[key]
 
-        spec_plan = self.spec.plan
+        spec_plan = fuse_join_aggregates(self.spec.plan)
         ctx = _Ctx(self.n_shards, agg_cap)
 
         def local_fn(*flat):

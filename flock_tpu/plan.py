@@ -209,22 +209,25 @@ def lower(node: Node, tables: dict[str, Batch], agg_capacity: int | None = None)
     raise TypeError(f"unknown plan node {type(node)}")
 
 
-def _lower_fused(node: "FusedJoinAggregate", tables, agg_capacity) -> Lowered:
+def fused_local_pass(node: "FusedJoinAggregate",
+                     b_cols, b_valid, p_cols, p_valid):
+    """The fused join+filter+aggregate core over already-lowered sides.
+
+    Shared by the single-device lowering and the distributed lowering (where
+    the build side arrives broadcast-gathered and the output is a per-shard
+    partial).  Returns (out_cols, valid, slot_overflow, escape, span)."""
     from flock_tpu.ops import blocked
     from flock_tpu.ops.kernels import AGG_BLOCK, AGG_S_LOC, I32_MAX
 
     jn = node.join
-    b = lower(jn.build, tables, agg_capacity)
-    p = lower(jn.probe, tables, agg_capacity)
-
-    span = b.valid.shape[0] + 8192
+    span = b_valid.shape[0] + 8192
     take = dict(jn.take)
     slot_aggs = [(src, "max", src) for src in take]
     slots, present, ovf_b = kernels.dense_group_aggregate(
-        {jn.build_key: b.cols[jn.build_key],
-         **{s: b.cols[s] for s in take}},
-        b.valid, jn.build_key, slot_aggs, span)
-    m = jnp.min(jnp.where(b.valid, b.cols[jn.build_key], I32_MAX))
+        {jn.build_key: b_cols[jn.build_key],
+         **{s: b_cols[s] for s in take}},
+        b_valid, jn.build_key, slot_aggs, span)
+    m = jnp.min(jnp.where(b_valid, b_cols[jn.build_key], I32_MAX))
     slot_cols = {dst: slots[src] for src, dst in take.items()}
 
     middle = node.middle
@@ -242,17 +245,25 @@ def _lower_fused(node: "FusedJoinAggregate", tables, agg_capacity) -> Lowered:
                         for nm, e in nd.exprs}
         return cols, pair
 
-    n = p.valid.shape[0]
+    n = p_valid.shape[0]
     pad = (-n) % AGG_BLOCK
-    pcols = {k: jnp.pad(v, (0, pad)) for k, v in p.cols.items()}
-    pvalid = jnp.pad(p.valid, (0, pad))
+    pcols = {k: jnp.pad(v, (0, pad)) for k, v in p_cols.items()}
+    pvalid = jnp.pad(p_valid, (0, pad))
     out, ovalid, esc = blocked.blocked_join_aggregate(
         slot_cols, present, m, pcols, pvalid, jn.probe_key, replay,
         list(node.aggs), span, block=min(AGG_BLOCK, n + pad),
         s_loc=AGG_S_LOC)
     out[node.group_key] = out.pop("__key")
-    valid = ovalid & present
+    return out, ovalid & present, ovf_b, esc, span
 
+
+def _lower_fused(node: "FusedJoinAggregate", tables, agg_capacity) -> Lowered:
+    jn = node.join
+    b = lower(jn.build, tables, agg_capacity)
+    p = lower(jn.probe, tables, agg_capacity)
+
+    out, valid, ovf_b, esc, span = fused_local_pass(
+        node, b.cols, b.valid, p.cols, p.valid)
     import os
     needs_fb = esc | ovf_b
     if os.environ.get("FLOCK_TPU_NO_FALLBACK") or node.fallback is None:
