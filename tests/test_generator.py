@@ -123,3 +123,20 @@ def test_ysb_counts_and_epochs():
     assert set(np.unique(d["epoch"]).tolist()) == {0, 1, 2}
     assert d["ad_id"].max() < cfg.num_ads
     assert d["event_type"].max() <= 2
+
+
+def test_out_of_order_groups():
+    # out-of-order-group-size > 1 permutes event timestamps within groups
+    # (config.rs:275-279: (e/n)*n + (e*953)%n); epoch slicing follows the
+    # monotonic loop clock, exactly like the reference's next_epoch
+    cfg = NexmarkConfig(events_per_second=1000, out_of_order_group_size=100)
+    eps = nexmark_generate_partition(cfg, 2, 0)
+    assert len(eps) == 2
+    ts = eps[0].b_date_time
+    assert len(ts) == 920
+    assert np.any(np.diff(ts) < 0)          # genuinely out of order
+    # counts are conserved vs in-order generation (events permute, not drop)
+    cfg2 = NexmarkConfig(events_per_second=1000)
+    in_order = nexmark_generate_partition(cfg2, 2, 0)
+    assert sum(len(e.b_price) for e in eps) == \
+        sum(len(e.b_price) for e in in_order)

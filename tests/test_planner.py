@@ -36,3 +36,19 @@ def test_explain_renders():
     dag = plan_query_stages(get_query(4).plan)
     text = dag.explain()
     assert "Stage 0" in text and "hash(" in text and "broadcast" in text
+
+
+def test_golden_dag_files():
+    # stage-structure goldens for every query (the playground .dag analogue,
+    # playground/src/distributed_plan/nexmark/q*.dag)
+    import os
+
+    from flock_tpu.queries.nexmark import QUERIES
+    from flock_tpu.queries.ysb import ysb_query
+
+    here = os.path.join(os.path.dirname(__file__), "golden_dags")
+    for n, spec in sorted(QUERIES.items()):
+        want = open(os.path.join(here, f"q{n}.dag")).read()
+        assert plan_query_stages(spec.plan).explain() + "\n" == want, f"q{n}"
+    want = open(os.path.join(here, "ysb.dag")).read()
+    assert plan_query_stages(ysb_query().plan).explain() + "\n" == want
