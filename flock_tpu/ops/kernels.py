@@ -360,9 +360,11 @@ def lookup_join(
     span = bk.shape[0] + span_margin
     # slot the build side: unique keys ⇒ max() over each take-col == the value
     slot_aggs = [(src, "max", src) for src in take]
+    # scatter path: build keys are slot-ordered (ascending), which always
+    # escapes the blocked window; the build side is small
     slots, present, ovf_b = dense_group_aggregate(
         {build_key: bk, **{src: build_cols[src] for src in take}},
-        build_valid, build_key, slot_aggs, span)
+        build_valid, build_key, slot_aggs, span, allow_blocked=False)
     m = jnp.min(jnp.where(build_valid, bk, I32_MAX))
 
     pk = probe_cols[probe_key]

@@ -223,10 +223,12 @@ def fused_local_pass(node: "FusedJoinAggregate",
     span = b_valid.shape[0] + 8192
     take = dict(jn.take)
     slot_aggs = [(src, "max", src) for src in take]
+    # slotting is a 1:1 scatter of build rows; ascending build keys span a
+    # whole block, so the blocked path would always escape — scatter directly
     slots, present, ovf_b = kernels.dense_group_aggregate(
         {jn.build_key: b_cols[jn.build_key],
          **{s: b_cols[s] for s in take}},
-        b_valid, jn.build_key, slot_aggs, span)
+        b_valid, jn.build_key, slot_aggs, span, allow_blocked=False)
     m = jnp.min(jnp.where(b_valid, b_cols[jn.build_key], I32_MAX))
     slot_cols = {dst: slots[src] for src, dst in take.items()}
 
