@@ -118,9 +118,11 @@ def main():
     args = ap.parse_args()
 
     if args.all:
-        for q in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9):
+        for q in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 13):
             try:
-                r = bench_query(q, args.seconds, args.eps)
+                # windowed queries (q5 hopping, q7/q8 tumbling) need ≥10s
+                secs = max(args.seconds, 10) if q in (5, 7, 8) else args.seconds
+                r = bench_query(q, secs, args.eps)
                 print(json.dumps(r), file=sys.stderr)
             except Exception as e:  # noqa: BLE001
                 print(f"q{q} failed: {e}", file=sys.stderr)
