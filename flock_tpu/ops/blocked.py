@@ -322,16 +322,34 @@ def blocked_join_aggregate(
     pv_b = probe_valid.reshape(nb, block)
     pcols_b = {k: v.reshape(nb, block) for k, v in probe_cols.items()}
 
+    # determine accumulator dtypes by abstractly replaying a 1×1 sample
+    # (middle projections may compute wider columns, e.g. int64 order keys)
+    sample = {k: probe_cols[k][:1][:, None] for k in probe_cols}
+    for c, arr in build_slot_cols.items():
+        sample[c] = arr[:1][None, :]
+    scols_out, _ = replay(sample, jnp.ones((1, 1), bool))
+    acc_dtype = {}
+    for in_col, fn, out in aggs:
+        if in_col is not None and in_col in scols_out:
+            acc_dtype[out] = scols_out[in_col].dtype
+        else:
+            acc_dtype[out] = jnp.int32
+
+    def _minmax_init(dt, lo):
+        info = jnp.iinfo(dt)
+        return jnp.full((out_capacity,), info.min if lo else info.max, dt)
+
     outs: dict[str, jax.Array] = {}
     for in_col, fn, out in aggs:
+        dt = acc_dtype[out]
         if fn in ("count", "count_sum"):
             outs[out] = jnp.zeros((out_capacity,), jnp.int32) + z32
         elif fn == "sum":
             outs[out] = jnp.zeros((out_capacity,), jnp.int64) + z32.astype(jnp.int64)
         elif fn == "min":
-            outs[out] = jnp.full((out_capacity,), I32_MAX, jnp.int32) + z32
+            outs[out] = _minmax_init(dt, lo=False) + z32.astype(dt)
         elif fn == "max":
-            outs[out] = jnp.full((out_capacity,), I32_MIN, jnp.int32) + z32
+            outs[out] = _minmax_init(dt, lo=True) + z32.astype(dt)
         else:
             raise ValueError(fn)
     outs["__cnt"] = jnp.zeros((out_capacity,), jnp.int32) + z32
@@ -377,10 +395,14 @@ def blocked_join_aggregate(
                     acc = acc + (p.astype(jnp.int64) << (8 * i))
                 upd = win + acc
             elif fn == "min":
-                v = jnp.where(pair, bcast[in_col], I32_MAX)
+                dt = win.dtype
+                v = jnp.where(pair, bcast[in_col].astype(dt),
+                              jnp.iinfo(dt).max)
                 upd = jnp.minimum(win, jnp.min(v, axis=0))
             elif fn == "max":
-                v = jnp.where(pair, bcast[in_col], I32_MIN)
+                dt = win.dtype
+                v = jnp.where(pair, bcast[in_col].astype(dt),
+                              jnp.iinfo(dt).min)
                 upd = jnp.maximum(win, jnp.max(v, axis=0))
             new[out] = lax.dynamic_update_slice(outs[out], upd, (base,))
         return (new, escape), None

@@ -160,12 +160,28 @@ def q5() -> QuerySpec:
 
 def q6() -> QuerySpec:
     # winning (highest-price) bid per closed auction, then per-seller average
-    # over the seller's last 10 winning bids (q6.sql).
+    # over the seller's last 10 closed auctions (q6.sql).
+    #
+    # Winner selection = argmax, not ROW_NUMBER-over-sort: the ordering
+    # (price desc, b_date_time asc) packs into one int64 key
+    # price<<32 | (2^32-1 - rel_ts), whose per-auction MAX the fused
+    # join+aggregate computes without materializing joined rows — replacing a
+    # full sort of every interval-joined bid with one blocked pass.
     joined = _winning_bid_interval((("seller", "seller"),))
-    price_rank = Rank(joined, group_key="auction", order_col="price",
-                      descending=True, rank_name="price_rank",
-                      tiebreak="b_date_time")
-    winners = Filter(price_rank, lambda c: c["price_rank"] == 1, "price_rank=1")
+    with_key = Project(joined, (
+        ("auction", "auction"), ("seller", "seller"),
+        ("__order", lambda c: (c["price"].astype(jnp.int64) << 32)
+         | (jnp.int64(0xFFFFFFFF) - c["b_date_time"].astype(jnp.int64))),
+    ))
+    win_agg = Aggregate(with_key, group_keys=("auction",),
+                        aggs=(("__order", "max", "__order"),
+                              ("seller", "max", "seller")))
+    winners = Project(win_agg, (
+        ("auction", "auction"), ("seller", "seller"),
+        ("price", lambda c: (c["__order"] >> 32).astype(jnp.int32)),
+        ("b_date_time", lambda c: (jnp.int64(0xFFFFFFFF)
+                                   - (c["__order"] & 0xFFFFFFFF)).astype(jnp.int32)),
+    ))
     time_rank = Rank(winners, group_key="seller", order_col="b_date_time",
                      descending=True, rank_name="time_rank", tiebreak="auction")
     last10 = Filter(time_rank, lambda c: c["time_rank"] <= 10, "time_rank<=10")
