@@ -18,10 +18,14 @@ import os
 import sys
 import time
 
-# Benchmarks measure the fast path; the runtime scatter fallback (a safety
-# net for non-local keys, unused on NEXMark data) doubles compiled program
-# size and remote-compile time.  Must be set before flock_tpu imports.
-os.environ.setdefault("FLOCK_TPU_NO_FALLBACK", "1")
+def _set_bench_env(no_fallback: bool) -> None:
+    # The runtime scatter fallback doubles compiled program size (slow remote
+    # compiles).  The default q4 bench never escapes, so it strips the
+    # fallback; --all keeps it (q3/q6/q8 contain ascending-key aggregations
+    # that legitimately use the scatter path).  Must run before flock_tpu
+    # imports.
+    if no_fallback:
+        os.environ.setdefault("FLOCK_TPU_NO_FALLBACK", "1")
 
 REFERENCE_EVENTS_PER_SEC = 10_000 / 1.17785  # README q5 demo REPORT line
 
@@ -116,6 +120,7 @@ def main():
     ap.add_argument("--all", action="store_true",
                     help="also print per-query results for q0..q9 to stderr")
     args = ap.parse_args()
+    _set_bench_env(no_fallback=not args.all)
 
     if args.all:
         for q in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 13):

@@ -50,10 +50,12 @@ def _limbs(v: jax.Array):
 
 
 def _limbs8(v: jax.Array):
-    """Four 8-bit limbs: block sums stay ≤ 4096·255 ≈ 2^20 < 2^24 (f32-exact
-    under MXU accumulation)."""
-    v = v.astype(jnp.int32)
-    return [((v >> (8 * i)) & 0xFF).astype(jnp.float32) for i in range(4)]
+    """8-bit limbs (4 for ≤int32, 8 for int64): block sums stay ≤ 4096·255 ≈
+    2^20 < 2^24 (f32-exact under MXU accumulation)."""
+    n = 8 if v.dtype == jnp.int64 else 4
+    if v.dtype != jnp.int64:
+        v = v.astype(jnp.int32)
+    return [((v >> (8 * i)) & 0xFF).astype(jnp.float32) for i in range(n)]
 
 
 def blocked_local_agg(
@@ -283,6 +285,25 @@ def blocked_local_join(
     return out, hits.reshape(n), escape
 
 
+def fused_acc_dtypes(build_slot_cols, probe_cols, replay, aggs) -> dict:
+    """Accumulator dtypes per agg output, via jax.eval_shape over the replay
+    chain on abstract 1×1 inputs (no execution, no exposure to pad/sentinel
+    values)."""
+    sample = {k: jax.ShapeDtypeStruct((1, 1), v.dtype)
+              for k, v in probe_cols.items()}
+    for c, arr in build_slot_cols.items():
+        sample[c] = jax.ShapeDtypeStruct((1, 1), arr.dtype)
+    scols_out, _ = jax.eval_shape(
+        replay, sample, jax.ShapeDtypeStruct((1, 1), jnp.bool_))
+    out = {}
+    for in_col, fn, name in aggs:
+        if in_col is not None and in_col in scols_out:
+            out[name] = scols_out[in_col].dtype
+        else:
+            out[name] = jnp.dtype(jnp.int32)
+    return out
+
+
 def blocked_join_aggregate(
     build_slot_cols: dict[str, jax.Array],   # [span] per-slot build columns
     build_present: jax.Array,                # bool [span]
@@ -322,18 +343,7 @@ def blocked_join_aggregate(
     pv_b = probe_valid.reshape(nb, block)
     pcols_b = {k: v.reshape(nb, block) for k, v in probe_cols.items()}
 
-    # determine accumulator dtypes by abstractly replaying a 1×1 sample
-    # (middle projections may compute wider columns, e.g. int64 order keys)
-    sample = {k: probe_cols[k][:1][:, None] for k in probe_cols}
-    for c, arr in build_slot_cols.items():
-        sample[c] = arr[:1][None, :]
-    scols_out, _ = replay(sample, jnp.ones((1, 1), bool))
-    acc_dtype = {}
-    for in_col, fn, out in aggs:
-        if in_col is not None and in_col in scols_out:
-            acc_dtype[out] = scols_out[in_col].dtype
-        else:
-            acc_dtype[out] = jnp.int32
+    acc_dtype = fused_acc_dtypes(build_slot_cols, probe_cols, replay, aggs)
 
     def _minmax_init(dt, lo):
         info = jnp.iinfo(dt)
@@ -386,12 +396,10 @@ def blocked_join_aggregate(
             if fn in ("count", "count_sum"):
                 upd = win + cnt
             elif fn == "sum":
-                col = jnp.broadcast_to(bcast[in_col],
-                                       (block, s_loc)).astype(jnp.int32)
+                col = jnp.broadcast_to(bcast[in_col], (block, s_loc))
                 acc = jnp.zeros((s_loc,), jnp.int64)
-                for i in range(4):
-                    limb = ((col >> (8 * i)) & 0xFF).astype(jnp.float32)
-                    p = jnp.sum(limb * pair_f, axis=0, dtype=jnp.float32)
+                for i, limb2d in enumerate(_limbs8(col)):
+                    p = jnp.sum(limb2d * pair_f, axis=0, dtype=jnp.float32)
                     acc = acc + (p.astype(jnp.int64) << (8 * i))
                 upd = win + acc
             elif fn == "min":

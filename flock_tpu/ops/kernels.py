@@ -101,11 +101,15 @@ def _scatter_aggs(seg: jax.Array, svalid: jax.Array, scols: dict,
                 v.astype(acc), mode="drop")
         elif fn == "min":
             v = scols[in_col]
-            init = jnp.full((out_capacity,), jnp.iinfo(v.dtype).max, v.dtype)
+            info = (jnp.finfo(v.dtype) if jnp.issubdtype(v.dtype, jnp.floating)
+                    else jnp.iinfo(v.dtype))
+            init = jnp.full((out_capacity,), info.max, v.dtype)
             out[out_name] = init.at[seg].min(v, mode="drop")
         elif fn == "max":
             v = scols[in_col]
-            init = jnp.full((out_capacity,), jnp.iinfo(v.dtype).min, v.dtype)
+            info = (jnp.finfo(v.dtype) if jnp.issubdtype(v.dtype, jnp.floating)
+                    else jnp.iinfo(v.dtype))
+            init = jnp.full((out_capacity,), info.min, v.dtype)
             out[out_name] = init.at[seg].max(v, mode="drop")
         else:
             raise ValueError(fn)
@@ -276,11 +280,15 @@ def group_aggregate(
                 v.astype(acc_dtype), mode="drop")
         elif fn == "min":
             v = scols[in_col]
-            init = jnp.full((out_capacity,), jnp.iinfo(v.dtype).max, v.dtype)
+            info = (jnp.finfo(v.dtype) if jnp.issubdtype(v.dtype, jnp.floating)
+                    else jnp.iinfo(v.dtype))
+            init = jnp.full((out_capacity,), info.max, v.dtype)
             out[out_name] = init.at[seg].min(v, mode="drop")
         elif fn == "max":
             v = scols[in_col]
-            init = jnp.full((out_capacity,), jnp.iinfo(v.dtype).min, v.dtype)
+            info = (jnp.finfo(v.dtype) if jnp.issubdtype(v.dtype, jnp.floating)
+                    else jnp.iinfo(v.dtype))
+            init = jnp.full((out_capacity,), info.min, v.dtype)
             out[out_name] = init.at[seg].max(v, mode="drop")
         else:
             raise ValueError(fn)

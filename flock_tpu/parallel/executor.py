@@ -128,8 +128,12 @@ def lower_dist(node: Node, tables: dict, ctx: _Ctx):
         # shard's probe rows (a per-shard PARTIAL), then shuffle + final
         # re-aggregate — the same two-phase split as a plain Aggregate
         bcols, bvalid, o1 = lower_dist(node.join.build, tables, ctx)
-        gcols, gvalid = broadcast_gather(bcols, bvalid, ctx.axis)
         pcols, pvalid, o2 = lower_dist(node.join.probe, tables, ctx)
+        from flock_tpu.plan import fused_dtypes_supported
+        if node.fallback is not None and not fused_dtypes_supported(
+                node, bcols, pcols):
+            return lower_dist(node.fallback, tables, ctx)
+        gcols, gvalid = broadcast_gather(bcols, bvalid, ctx.axis)
         out, valid, ovf_b, esc, span = fused_local_pass(
             node, gcols, gvalid, pcols, pvalid)
         per_dest = min(span, max(4 * (span // ctx.n_shards), 2048))

@@ -209,6 +209,38 @@ def lower(node: Node, tables: dict[str, Batch], agg_capacity: int | None = None)
     raise TypeError(f"unknown plan node {type(node)}")
 
 
+def fused_dtypes_supported(node: "FusedJoinAggregate",
+                           b_cols, p_cols) -> bool:
+    """Static pre-check: the fused kernel handles integer aggregation only;
+    float min/max/sum columns must take the unfused path (the lowerings call
+    this BEFORE choosing, so the decision is a trace-time branch)."""
+    from flock_tpu.ops import blocked
+
+    jn = node.join
+    take = dict(jn.take)
+    slot_like = {dst: b_cols[src] for src, dst in take.items()}
+    middle = node.middle
+    post = jn.post_filter
+
+    def replay(bcast, pair):
+        cols = dict(bcast)
+        if post is not None:
+            pair = pair & post(cols)
+        for nd in middle:
+            if isinstance(nd, Filter):
+                pair = pair & nd.pred(cols)
+            else:
+                cols = {nm: (cols[e] if isinstance(e, str) else e(cols))
+                        for nm, e in nd.exprs}
+        return cols, pair
+
+    try:
+        dts = blocked.fused_acc_dtypes(slot_like, p_cols, replay, list(node.aggs))
+    except Exception:
+        return False
+    return all(jnp.issubdtype(dt, jnp.integer) for dt in dts.values())
+
+
 def fused_local_pass(node: "FusedJoinAggregate",
                      b_cols, b_valid, p_cols, p_valid):
     """The fused join+filter+aggregate core over already-lowered sides.
@@ -263,6 +295,11 @@ def _lower_fused(node: "FusedJoinAggregate", tables, agg_capacity) -> Lowered:
     jn = node.join
     b = lower(jn.build, tables, agg_capacity)
     p = lower(jn.probe, tables, agg_capacity)
+
+    if node.fallback is not None and not fused_dtypes_supported(
+            node, b.cols, p.cols):
+        # float aggregation columns: take the unfused path statically
+        return lower(node.fallback, tables, agg_capacity)
 
     out, valid, ovf_b, esc, span = fused_local_pass(
         node, b.cols, b.valid, p.cols, p.valid)

@@ -55,3 +55,34 @@ def test_hot_key_sum_exact_full_onehot():
     for key_val in (3, 7):
         want = int(vals[keys == key_val].astype(np.int64).sum())
         assert int(out["s"][key_val - 3]) == want
+
+
+def test_fused_float_agg_falls_back():
+    # min/max over a float column can't ride the integer fused kernel; the
+    # lowering must statically take the unfused path and stay correct
+    import jax.numpy as jnp
+
+    from flock_tpu.batch import Batch
+    from flock_tpu.plan import Aggregate, Join, Project, Scan, compile_plan
+
+    join = Join(build=Scan("b"), probe=Scan("p"), build_key="k",
+                probe_key="k", take=(("w", "w"),))
+    proj = Project(join, (("k", "k"), ("fv", lambda c: c["v"].astype(jnp.float32) * 0.5)))
+    agg = Aggregate(proj, group_keys=("k",), aggs=(("fv", "max", "m"),))
+
+    rng = np.random.default_rng(3)
+    n = 512
+    build = {"k": np.arange(100, 200, dtype=np.int32),
+             "w": np.ones(100, np.int32)}
+    probe = {"k": rng.integers(100, 200, n).astype(np.int32),
+             "v": rng.integers(1, 1000, n).astype(np.int32)}
+    tables = {"b": Batch.from_numpy(build), "p": Batch.from_numpy(probe)}
+    out, ovf = jax.jit(compile_plan(agg, 4096))(tables)
+    assert not bool(ovf)
+    got = {k: np.asarray(v)[np.asarray(out.valid)]
+           for k, v in out.columns.items()}
+    for kv in (100, 150, 199):
+        sel = probe["k"] == kv
+        if sel.any():
+            want = (probe["v"][sel].astype(np.float32) * 0.5).max()
+            assert np.isclose(got["m"][got["k"] == kv][0], want), kv
