@@ -120,6 +120,18 @@ FULL_ONEHOT_MAX = 4096   # spans up to this use full one-hot (no locality need)
 AGG_BLOCK = 4096
 AGG_S_LOC = 1024
 
+# Locality presets: expected key span of one AGG_BLOCK-row block, derived from
+# the generator semantics (event.rs:171-184 / datagen/nexmark.py).  A non-hot
+# seller/bidder is drawn from the last ``active_people=1000`` ids behind the
+# person frontier (+10 lead); the frontier itself advances by
+# rows·persons_per_row.  Rounded up to a lane multiple.
+#   person ids over person rows: frontier advances 1/row        → 4096+1010
+#   person ids over auction rows (seller): 1/3 per row          → 1366+1010
+#   person ids over bid rows (bidder): 1/46 per row             → 90+1010
+S_LOC_DENSE_IDS = 4608       # group key ≡ the relation's own id column
+S_LOC_PERSON_OVER_AUCTION = 2560
+S_LOC_PERSON_OVER_BID = 1280
+
 
 def dense_group_aggregate(
     cols: dict[str, jax.Array],
@@ -128,6 +140,7 @@ def dense_group_aggregate(
     aggs: list[tuple[str, str, str]],
     out_capacity: int,
     allow_blocked: bool = True,
+    s_loc: int | None = None,
 ):
     """Dense-key grouped aggregation: segment id = key − min(valid keys).
 
@@ -182,6 +195,7 @@ def dense_group_aggregate(
     if not allow_blocked:
         return scatter_path()
 
+    s_loc = min(s_loc or AGG_S_LOC, out_capacity)
     n = valid.shape[0]
     pad = (-n) % AGG_BLOCK
     k = jnp.pad(cols[key], (0, pad))
@@ -189,7 +203,7 @@ def dense_group_aggregate(
     ac = {c: jnp.pad(a, (0, pad)) for c, a in agg_cols.items()}
     b_out, b_valid, escape = blocked.blocked_local_agg(
         k, v, ac, list(aggs), out_capacity,
-        block=min(AGG_BLOCK, k.shape[0]), s_loc=AGG_S_LOC)
+        block=min(AGG_BLOCK, k.shape[0]), s_loc=s_loc)
     b_out[key] = b_out.pop("__key")
 
     import os
@@ -225,6 +239,7 @@ def group_aggregate(
     aggs: list[tuple[str, str, str]],  # (in_col, fn, out_name); fn ∈ sum/count/min/max
     out_capacity: int,
     allow_blocked: bool = True,
+    s_loc: int | None = None,
 ):
     """Grouped aggregation.  Single integer key → dense scatter path
     (``dense_group_aggregate``); multi-key → sort-based fallback.
@@ -239,7 +254,7 @@ def group_aggregate(
     if len(group_keys) == 1 and not jnp.issubdtype(
             cols[group_keys[0]].dtype, jnp.floating):
         return dense_group_aggregate(cols, valid, group_keys[0], aggs,
-                                     out_capacity, allow_blocked)
+                                     out_capacity, allow_blocked, s_loc)
     needed = list(dict.fromkeys(
         group_keys + [c for c, f, _ in aggs if f != "count" and c is not None]))
     sub = {k: cols[k] for k in needed}
@@ -340,6 +355,9 @@ def lookup_join(
     probe_key: str,
     take: dict[str, str],  # build col → output name
     span_margin: int = 8192,
+    probe_s_loc: int | None = None,
+    build_s_loc: int | None = None,
+    build_slotted: bool = False,
 ):
     """N-to-1 inner join: probe rows keep their slots; matched build columns
     are gathered alongside.  Unmatched probe rows become invalid.
@@ -365,15 +383,27 @@ def lookup_join(
     from flock_tpu.ops import blocked
 
     bk = build_cols[build_key]
-    span = bk.shape[0] + span_margin
-    # slot the build side: unique keys ⇒ max() over each take-col == the value
-    slot_aggs = [(src, "max", src) for src in take]
-    # scatter path: build keys are slot-ordered (ascending), which always
-    # escapes the blocked window; the build side is small
-    slots, present, ovf_b = dense_group_aggregate(
-        {build_key: bk, **{src: build_cols[src] for src in take}},
-        build_valid, build_key, slot_aggs, span, allow_blocked=False)
-    m = jnp.min(jnp.where(build_valid, bk, I32_MAX))
+    if build_slotted:
+        # build side is already a dense-slot aggregate output (slot i holds
+        # key col[0]+i): reuse it directly, no re-slotting pass at all
+        span = bk.shape[0]
+        slots = {src: build_cols[src] for src in take}
+        present = build_valid
+        ovf_b = jnp.asarray(False)
+        m = bk[0]
+    else:
+        span = bk.shape[0] + span_margin
+        # slot the build side: unique keys ⇒ max() over each take-col == the
+        # value.  Default path is the scatter (build keys are usually
+        # slot-ordered/ascending, which escapes the default blocked window);
+        # a ``build_s_loc`` hint sized to the ascending span enables the
+        # blocked one-hot instead.
+        slot_aggs = [(src, "max", src) for src in take]
+        slots, present, ovf_b = dense_group_aggregate(
+            {build_key: bk, **{src: build_cols[src] for src in take}},
+            build_valid, build_key, slot_aggs, span,
+            allow_blocked=build_s_loc is not None, s_loc=build_s_loc)
+        m = jnp.min(jnp.where(build_valid, bk, I32_MAX))
 
     pk = probe_cols[probe_key]
     n = pk.shape[0]
@@ -384,7 +414,7 @@ def lookup_join(
         slot_arrays, present, m,
         jnp.pad(pk, (0, pad)), jnp.pad(probe_valid, (0, pad)),
         take_list, block=min(AGG_BLOCK, n + pad),
-        s_loc=min(AGG_S_LOC, span))
+        s_loc=min(probe_s_loc or AGG_S_LOC, span))
 
     import os
     if os.environ.get("FLOCK_TPU_NO_FALLBACK"):
@@ -437,3 +467,99 @@ def distinct(cols: dict[str, jax.Array], valid: jax.Array,
              keys: list[str], out_capacity: int):
     """SELECT DISTINCT keys (a GROUP BY with no aggregates)."""
     return group_aggregate(cols, valid, keys, [], out_capacity)
+
+
+def _segmented_scan(start: jax.Array, vals: jax.Array, combine):
+    """Inclusive segmented scan: restarts ``combine`` at rows where ``start``
+    is True.  The classic associative formulation — fully parallel (log n
+    passes), no scatter/gather."""
+    def op(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, combine(va, vb))
+    return lax.associative_scan(op, (start, vals))[1]
+
+
+def sorted_segment_aggregate(
+    cols: dict[str, jax.Array],
+    valid: jax.Array,
+    key: str,
+    aggs: list[tuple[str, str, str]],
+):
+    """Grouped aggregation over rows already SORTED by ``key`` (e.g. the
+    output of Rank/Sort): segmented scans instead of scatters or one-hots.
+
+    Interspersed invalid rows (post-Filter) contribute the identity.  The
+    output keeps the input's capacity: each group's aggregate lands on its
+    run's LAST row; all other rows are invalid.  Output columns are ``key`` +
+    the agg outputs (same contract as the sort-based group_aggregate, minus
+    compaction — downstream kernels are mask-aware so compaction is wasted
+    work).  Never overflows.
+    """
+    k = cols[key]
+    n = k.shape[0]
+    change = k[1:] != k[:-1]
+    start = jnp.concatenate([jnp.ones((1,), bool), change])
+    end = jnp.concatenate([change, jnp.ones((1,), bool)])
+
+    cnt = _segmented_scan(start, valid.astype(jnp.int32), jnp.add)
+    out: dict[str, jax.Array] = {key: k}
+    for in_col, fn, out_name in aggs:
+        if fn == "count":
+            out[out_name] = cnt
+            continue
+        v = cols[in_col]
+        if fn == "count_sum":
+            vv = jnp.where(valid, v.astype(jnp.int32), 0)
+            out[out_name] = _segmented_scan(start, vv, jnp.add)
+        elif fn == "sum":
+            acc = (jnp.float32 if jnp.issubdtype(v.dtype, jnp.floating)
+                   else jnp.int64)
+            vv = jnp.where(valid, v.astype(acc), jnp.zeros((), acc))
+            out[out_name] = _segmented_scan(start, vv, jnp.add)
+        elif fn in ("min", "max"):
+            info = (jnp.finfo(v.dtype) if jnp.issubdtype(v.dtype, jnp.floating)
+                    else jnp.iinfo(v.dtype))
+            sent = info.max if fn == "min" else info.min
+            vv = jnp.where(valid, v, jnp.asarray(sent, v.dtype))
+            out[out_name] = _segmented_scan(
+                start, vv, jnp.minimum if fn == "min" else jnp.maximum)
+        else:
+            raise ValueError(fn)
+    out_valid = end & (cnt > 0)
+    return out, out_valid, jnp.asarray(False)
+
+
+def slot_join(
+    build_cols: dict[str, jax.Array],
+    build_valid: jax.Array,
+    build_key: str,
+    probe_cols: dict[str, jax.Array],
+    probe_valid: jax.Array,
+    probe_key: str,
+    take: dict[str, str],
+):
+    """Join two SLOT-DENSE relations (both sides are dense_group_aggregate
+    outputs: slot i holds key ``col[0] + i``, gaps invalid) over the same key
+    domain.  The whole join collapses to one contiguous shifted copy per
+    column (dynamic_slice) + a mask AND — no probing, no hashing, zero random
+    access.  Covers aggregate⋈aggregate joins like q8 (new persons ⋈ distinct
+    sellers: both slotted over person ids).
+    """
+    pcap = probe_valid.shape[0]
+    m_b = build_cols[build_key][0]
+    m_p = probe_cols[probe_key][0]
+    # probe slot i ↔ build slot i + offset; out-of-range offsets clamp into
+    # the zero padding (no overlap ⇒ all misses)
+    offset = (m_p.astype(jnp.int64) - m_b.astype(jnp.int64)).astype(jnp.int32)
+    start = jnp.clip(offset + pcap, 0, build_valid.shape[0] + pcap)
+
+    def shifted(arr, fill=0):
+        padded = jnp.pad(arr, (pcap, pcap), constant_values=fill)
+        return lax.dynamic_slice(padded, (start,), (pcap,))
+
+    hit = probe_valid & shifted(build_valid, False)
+    out = dict(probe_cols)
+    for src, dst in take.items():
+        out[dst] = shifted(build_cols[src])
+    return out, hit, jnp.asarray(False)

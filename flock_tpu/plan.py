@@ -71,6 +71,9 @@ class Aggregate(Node):
     aggs: tuple  # tuple[(in_col|None, fn, out_name)]
     mode: str = "single"
     out_capacity: int | None = None
+    # planner statistics hint: expected key span of a 4096-row block (sizes the
+    # blocked one-hot window, kernels.S_LOC_*); None → default
+    s_loc: int | None = None
 
     def inputs(self):
         return (self.child,)
@@ -88,6 +91,10 @@ class Join(Node):
     probe_key: str
     take: tuple  # tuple[(build_col, out_name)]
     post_filter: Expr | None = None
+    # locality hints (kernels.S_LOC_*): one-hot window sizes for the probe
+    # pass and (optionally) blocked build-side slotting
+    probe_s_loc: int | None = None
+    build_s_loc: int | None = None
 
     def inputs(self):
         return (self.build, self.probe)
@@ -134,6 +141,47 @@ class Compact(Node):
 # ---------------------------------------------------------------------------
 
 
+def _sorted_by(node: Node, key: str) -> bool:
+    """True when ``node``'s output rows are grouped-contiguous by ``key``:
+    a Rank/Sort on that key below order-preserving Filters/Projects."""
+    while True:
+        if isinstance(node, Filter):
+            node = node.child
+        elif isinstance(node, Project):
+            src = dict(node.exprs).get(key)
+            if not isinstance(src, str):
+                return False
+            key = src
+            node = node.child
+        else:
+            break
+    if isinstance(node, Rank):
+        return node.group_key == key
+    if isinstance(node, Sort):
+        return bool(node.keys) and node.keys[0] == key
+    return False
+
+
+def _slot_dense(node: Node, key: str) -> bool:
+    """True when ``node`` lowers to a dense-slot relation keyed on ``key``
+    (slot i ↔ key col[0]+i, gaps invalid): single-key Aggregates (all
+    dense_group_aggregate branches slot their output) and fused
+    join-aggregates.  Callers must still check the key dtype is integral
+    (floats take the sort-based, non-slotted path)."""
+    while isinstance(node, Project):
+        src = dict(node.exprs).get(key)
+        if not isinstance(src, str):
+            return False
+        key = src
+        node = node.child
+    if isinstance(node, Aggregate):
+        return (node.group_keys == (key,)
+                and not _sorted_by(node.child, key))
+    if isinstance(node, FusedJoinAggregate):
+        return node.group_key == key
+    return False
+
+
 @dataclass
 class Lowered:
     """Result of lowering a node: columns + validity + overflow accumulator."""
@@ -166,21 +214,43 @@ def lower(node: Node, tables: dict[str, Batch], agg_capacity: int | None = None)
 
     if isinstance(node, Aggregate):
         c = lower(node.child, tables, agg_capacity)
-        cap = node.out_capacity or agg_capacity or c.valid.shape[0]
         aggs = list(node.aggs)
         if node.mode == "final":
             # re-aggregate partials: sums of partial sums/counts, min of mins...
             aggs = [(out, {"count": "sum"}.get(fn, fn), out) for (_, fn, out) in aggs]
+        if (len(node.group_keys) == 1
+                and _sorted_by(node.child, node.group_keys[0])):
+            # child rows arrive sorted by the group key (Rank/Sort below):
+            # segmented scans, no scatter, output keeps the child capacity
+            cols, valid, ovf = kernels.sorted_segment_aggregate(
+                c.cols, c.valid, node.group_keys[0], aggs)
+            return Lowered(cols, valid, c.overflow | ovf)
+        cap = node.out_capacity or agg_capacity or c.valid.shape[0]
         cols, valid, ovf = kernels.group_aggregate(
-            c.cols, c.valid, list(node.group_keys), aggs, cap)
+            c.cols, c.valid, list(node.group_keys), aggs, cap,
+            s_loc=node.s_loc)
         return Lowered(cols, valid, c.overflow | ovf)
 
     if isinstance(node, Join):
         b = lower(node.build, tables, agg_capacity)
         p = lower(node.probe, tables, agg_capacity)
-        cols, valid, ovf = kernels.lookup_join(
-            b.cols, b.valid, node.build_key,
-            p.cols, p.valid, node.probe_key, dict(node.take))
+        b_slotted = (_slot_dense(node.build, node.build_key)
+                     and not jnp.issubdtype(
+                         b.cols[node.build_key].dtype, jnp.floating))
+        if (b_slotted and _slot_dense(node.probe, node.probe_key)
+                and not jnp.issubdtype(
+                    p.cols[node.probe_key].dtype, jnp.floating)):
+            # both sides are dense-slot aggregates over the same key domain:
+            # the join is a shifted contiguous copy (kernels.slot_join)
+            cols, valid, ovf = kernels.slot_join(
+                b.cols, b.valid, node.build_key,
+                p.cols, p.valid, node.probe_key, dict(node.take))
+        else:
+            cols, valid, ovf = kernels.lookup_join(
+                b.cols, b.valid, node.build_key,
+                p.cols, p.valid, node.probe_key, dict(node.take),
+                probe_s_loc=node.probe_s_loc, build_s_loc=node.build_s_loc,
+                build_slotted=b_slotted)
         if node.post_filter is not None:
             valid = valid & node.post_filter(cols)
         return Lowered(cols, valid, b.overflow | p.overflow | ovf)
@@ -419,7 +489,9 @@ def fuse_join_aggregates(node: Node) -> Node:
                                 probe=rewrite(cur.probe),
                                 build_key=cur.build_key,
                                 probe_key=cur.probe_key,
-                                take=cur.take, post_filter=cur.post_filter)
+                                take=cur.take, post_filter=cur.post_filter,
+                                probe_s_loc=cur.probe_s_loc,
+                                build_s_loc=cur.build_s_loc)
                     return FusedJoinAggregate(
                         join=join, middle=tuple(reversed(chain)),
                         group_key=key, aggs=n.aggs, fallback=n,
@@ -427,14 +499,15 @@ def fuse_join_aggregates(node: Node) -> Node:
         # generic recursion
         if isinstance(n, Aggregate):
             return Aggregate(rewrite(n.child), n.group_keys, n.aggs, n.mode,
-                             n.out_capacity)
+                             n.out_capacity, n.s_loc)
         if isinstance(n, Filter):
             return Filter(rewrite(n.child), n.pred, n.label)
         if isinstance(n, Project):
             return Project(rewrite(n.child), n.exprs)
         if isinstance(n, Join):
             return Join(rewrite(n.build), rewrite(n.probe), n.build_key,
-                        n.probe_key, n.take, n.post_filter)
+                        n.probe_key, n.take, n.post_filter,
+                        n.probe_s_loc, n.build_s_loc)
         if isinstance(n, Rank):
             return Rank(rewrite(n.child), n.group_key, n.order_col,
                         n.descending, n.rank_name, n.tiebreak)

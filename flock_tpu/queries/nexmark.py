@@ -27,6 +27,8 @@ import jax.numpy as jnp
 
 from flock_tpu.batch import Schema
 from flock_tpu.datagen.nexmark import FIRST_NAMES, LAST_NAMES, US_CITIES, US_STATES
+from flock_tpu.ops.kernels import (S_LOC_DENSE_IDS, S_LOC_PERSON_OVER_AUCTION,
+                                   S_LOC_PERSON_OVER_BID)
 from flock_tpu.plan import Aggregate, Filter, Join, Node, Project, Rank, Scan
 
 # state dictionary codes (datagen vocab order: az,ca,id,or,wa,wy)
@@ -90,7 +92,9 @@ def q3() -> QuerySpec:
     auction = Filter(Scan("auction"), lambda c: c["category"] == 10, "category=10")
     plan = Project(
         Join(build=person, probe=auction, build_key="p_id", probe_key="seller",
-             take=(("name", "name"), ("city", "city"), ("state", "state"))),
+             take=(("name", "name"), ("city", "city"), ("state", "state")),
+             probe_s_loc=S_LOC_PERSON_OVER_AUCTION,
+             build_s_loc=S_LOC_DENSE_IDS),
         (("name", "name"), ("city", "city"), ("state", "state"), ("a_id", "a_id")),
     )
     return QuerySpec(
@@ -221,9 +225,13 @@ def q7() -> QuerySpec:
 
 def q8() -> QuerySpec:
     # GROUP BY p_id, name ≡ GROUP BY p_id with name carried (dependent col).
+    # Both aggregates slot over person ids, so the join lowers to the
+    # zero-random-access slot merge (kernels.slot_join).
     people = Aggregate(Scan("person"), group_keys=("p_id",),
-                       aggs=(("name", "max", "name"),))
-    sellers = Aggregate(Scan("auction"), group_keys=("seller",), aggs=())
+                       aggs=(("name", "max", "name"),),
+                       s_loc=S_LOC_DENSE_IDS)
+    sellers = Aggregate(Scan("auction"), group_keys=("seller",), aggs=(),
+                        s_loc=S_LOC_PERSON_OVER_AUCTION)
     plan = Project(
         Join(build=people, probe=sellers, build_key="p_id", probe_key="seller",
              take=(("name", "name"),)),
@@ -290,7 +298,8 @@ def q12() -> QuerySpec:
     plan = Aggregate(Scan("bid"), group_keys=("bidder",),
                      aggs=((None, "count", "bid_count"),
                            ("p_time", "min", "start_time"),
-                           ("p_time", "max", "end_time")))
+                           ("p_time", "max", "end_time")),
+                     s_loc=S_LOC_PERSON_OVER_BID)
     return QuerySpec(12, plan, ("global", 10), ("bid",),
                      Schema(["bidder", "bid_count", "start_time", "end_time"]))
 
