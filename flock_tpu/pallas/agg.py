@@ -45,29 +45,35 @@ def _agg_kernel(m_ref, keys_ref, valid_ref, val_ref,
     vals = val_ref[:]
 
     rel_all = keys - m_ref[0]
+    # 1D VMEM arrays tile as (8×128)=1024 elements: dynamic slices must be
+    # provably 1024-aligned.  Align the window base DOWN to s_loc and cover a
+    # 2·s_loc window as two aligned halves (blocks spanning ≤ s_loc+1 fit).
     base = jnp.min(jnp.where(valid, rel_all, I32_MAX))
-    # 128-lane alignment for the VMEM window update
-    base = jnp.clip(base - 128, 0, max(span - s_loc, 0))
-    base = pl.multiple_of((base // 128) * 128, 128)
+    base = jnp.clip(base, 0, max(span - 2 * s_loc, 0))
+    base = pl.multiple_of((base // s_loc) * s_loc, s_loc)
+    base2 = pl.multiple_of(base + s_loc, s_loc)
+    w2 = 2 * s_loc
 
     rel = rel_all - base
-    ok = valid & (rel >= 0) & (rel < s_loc)
+    ok = valid & (rel >= 0) & (rel < w2)
 
-    @pl.when(jnp.any(valid & ~ok))
+    # jnp.any lowers via a float proxy whose weak literals go f64
+    # under x64 → Mosaic scalar error; int32 reduce_max is native
+    @pl.when(jnp.max(jnp.where(valid & ~ok, 1, 0)) > 0)
     def _():
         esc_acc[0] = jnp.int32(1)
 
-    rel_c = jnp.where(ok, rel, s_loc)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (block, s_loc), 1)
+    rel_c = jnp.where(ok, rel, w2)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (block, w2), 1)
     onehot = rel_c[:, None] == iota
 
     cnt_w = jnp.sum(onehot.astype(jnp.int32), axis=0)
     max_w = jnp.max(jnp.where(onehot, vals[:, None], I32_MIN), axis=0)
 
-    win = acc_cnt[pl.ds(base, s_loc)]
-    acc_cnt[pl.ds(base, s_loc)] = win + cnt_w
-    winm = acc_max[pl.ds(base, s_loc)]
-    acc_max[pl.ds(base, s_loc)] = jnp.maximum(winm, max_w)
+    for b, sl in ((base, slice(0, s_loc)), (base2, slice(s_loc, w2))):
+        acc_cnt[pl.ds(b, s_loc)] = acc_cnt[pl.ds(b, s_loc)] + cnt_w[sl]
+        acc_max[pl.ds(b, s_loc)] = jnp.maximum(acc_max[pl.ds(b, s_loc)],
+                                               max_w[sl])
 
     @pl.when(i == n_i - 1)
     def _():
@@ -87,36 +93,40 @@ def pallas_count_max_agg(keys: jax.Array, valid: jax.Array, vals: jax.Array,
     multiples of 128; n must divide by block.
     """
     n = keys.shape[0]
-    assert n % block == 0 and span % 128 == 0 and s_loc % 128 == 0
+    assert n % block == 0 and span % s_loc == 0 and s_loc % 1024 == 0
+    assert span >= 2 * s_loc, (span, s_loc)
     grid = (n // block,)
 
     kernel = functools.partial(_agg_kernel, block=block, s_loc=s_loc,
                                span=span)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((block,), lambda i, *_: (i,)),
-                pl.BlockSpec((block,), lambda i, *_: (i,)),
-                pl.BlockSpec((block,), lambda i, *_: (i,)),
+    # 32-bit trace context: weak-int64 scalars (jax_enable_x64 is on
+    # engine-wide) hit an infinite Mosaic _convert_helper recursion
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((block,), lambda i, *_: (i,)),
+                    pl.BlockSpec((block,), lambda i, *_: (i,)),
+                    pl.BlockSpec((block,), lambda i, *_: (i,)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((span,), lambda i, *_: (0,)),
+                    pl.BlockSpec((span,), lambda i, *_: (0,)),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((span,), jnp.int32),
+                    pltpu.VMEM((span,), jnp.int32),
+                    pltpu.SMEM((1,), jnp.int32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((span,), jnp.int32),
+                jax.ShapeDtypeStruct((span,), jnp.int32),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
             ],
-            out_specs=[
-                pl.BlockSpec((span,), lambda i, *_: (0,)),
-                pl.BlockSpec((span,), lambda i, *_: (0,)),
-                pl.BlockSpec((1,), lambda i, *_: (0,)),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((span,), jnp.int32),
-                pltpu.VMEM((span,), jnp.int32),
-                pltpu.SMEM((1,), jnp.int32),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((span,), jnp.int32),
-            jax.ShapeDtypeStruct((span,), jnp.int32),
-            jax.ShapeDtypeStruct((1,), jnp.int32),
-        ],
-        interpret=interpret,
-    )(m.reshape(1), keys, valid.astype(jnp.int32), vals)
+            interpret=interpret,
+        )(m.reshape(1), keys, valid.astype(jnp.int32), vals)

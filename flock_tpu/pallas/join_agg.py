@@ -1,0 +1,211 @@
+"""Pallas TPU kernel: fused lookup-join + filter + grouped aggregation.
+
+The production XLA formulation (ops/blocked.blocked_join_aggregate) scans
+4096-row blocks whose [block, s_loc] pair-mask temporaries exceed VMEM — XLA
+streams them through HBM, and every block step round-trips the span
+accumulators via dynamic_slice/dynamic_update_slice.  This kernel keeps
+
+* the WHOLE span accumulator set in VMEM scratch across the sequential grid
+  (accumulator traffic never touches HBM), and
+* per-block temporaries at [1024, s_loc] so the pair mask, the replayed
+  filter columns, and the one-hot all stay resident;
+
+HBM traffic reduces to one streaming read of the probe columns + one final
+accumulator writeback — the speed-of-light for this op.
+
+Same contract as the XLA version: ``replay`` re-executes the plan nodes
+between Join and Aggregate on a broadcast column dict (probe cols [B, 1],
+build slot-window cols [1, s_loc]) — arbitrary jnp filter/project lambdas
+trace into the kernel unchanged.  Escapes (in-span keys outside their block's
+window) raise a flag; callers fall back.  int32 columns, count/min/max
+aggregations (integer sums need int64 accumulators — those stay on the XLA
+path).
+
+Reference counterpart: the DataFusion HashJoin+HashAggregate pipeline Flock
+executes per stage (flock/src/runtime/context.rs:172-216); here the join
+never materializes and the aggregation rides the join's pair masks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I32_MAX = np.int32(2**31 - 1)
+I32_MIN = np.int32(-(2**31))
+
+_SENTINEL = {"min": I32_MAX, "max": I32_MIN}
+
+
+def _kernel(m_ref, *refs, probe_names, slot_names, replay, aggs,
+            block, s_loc, span):
+    np_, ns, na = len(probe_names), len(slot_names), len(aggs)
+    probe_refs = dict(zip(probe_names, refs[:np_]))
+    valid_ref = refs[np_]
+    slot_refs = dict(zip(slot_names, refs[np_ + 1:np_ + 1 + ns]))
+    present_ref = refs[np_ + 1 + ns]
+    out_refs = refs[np_ + 2 + ns:np_ + 2 + ns + na]
+    cnt_out, esc_out = refs[np_ + 2 + ns + na:np_ + 4 + ns + na]
+    accs = refs[np_ + 4 + ns + na:np_ + 4 + ns + 2 * na]
+    acc_cnt, esc_acc = refs[np_ + 4 + ns + 2 * na:]
+
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        for (_, fn, _o), acc in zip(aggs, accs):
+            acc[:] = jnp.full((span,), _SENTINEL.get(fn, 0), jnp.int32)
+        acc_cnt[:] = jnp.zeros((span,), jnp.int32)
+        esc_acc[0] = jnp.int32(0)
+
+    keys = probe_refs[probe_names[0]][:]  # probe key is passed first
+    valid = valid_ref[:] != 0
+    rel_all = keys - m_ref[0]
+    candidate = valid & (rel_all >= 0) & (rel_all < span)
+    # Mosaic can only prove alignment of dynamic 1D VMEM loads when the index
+    # is a multiple of the loaded vector length: align the window base DOWN
+    # to s_loc and cover a 2·s_loc window as two s_loc-aligned halves.  A
+    # block whose in-span keys span ≤ s_loc+1 slots always fits.
+    base = jnp.min(jnp.where(candidate, rel_all, I32_MAX))
+    base = jnp.clip(base, 0, max(span - 2 * s_loc, 0))
+    base = pl.multiple_of((base // s_loc) * s_loc, s_loc)
+    base2 = pl.multiple_of(base + s_loc, s_loc)
+    w2 = 2 * s_loc
+
+    rel = rel_all - base
+    ok = candidate & (rel >= 0) & (rel < w2)
+
+    # jnp.any lowers via a float proxy whose weak literals go f64
+    # under x64 → Mosaic scalar error; int32 reduce_max is native
+    @pl.when(jnp.max(jnp.where(candidate & ~ok, 1, 0)) > 0)
+    def _():
+        esc_acc[0] = jnp.int32(1)
+
+    rel_c = jnp.where(ok, rel, w2)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (block, w2), 1)
+    onehot = rel_c[:, None] == iota
+
+    def window(ref):
+        return jnp.concatenate([ref[pl.ds(base, s_loc)],
+                                ref[pl.ds(base2, s_loc)]])
+
+    pair = onehot & (window(present_ref) != 0)[None, :]
+
+    bcast = {k: r[:][:, None] for k, r in probe_refs.items()}
+    for k, r in slot_refs.items():
+        bcast[k] = window(r)[None, :]
+    bcast, pair = replay(bcast, pair)
+
+    cnt_w = jnp.sum(pair.astype(jnp.int32), axis=0)
+
+    def acc_update(acc, upd, merge):
+        acc[pl.ds(base, s_loc)] = merge(acc[pl.ds(base, s_loc)], upd[:s_loc])
+        acc[pl.ds(base2, s_loc)] = merge(acc[pl.ds(base2, s_loc)],
+                                         upd[s_loc:])
+
+    acc_update(acc_cnt, cnt_w, jnp.add)
+    for (in_col, fn, _out), acc in zip(aggs, accs):
+        if fn == "count":
+            acc_update(acc, cnt_w, jnp.add)
+            continue
+        v = jnp.broadcast_to(bcast[in_col], (block, w2))
+        v = jnp.where(pair, v, _SENTINEL[fn])
+        red = jnp.min if fn == "min" else jnp.max
+        mrg = jnp.minimum if fn == "min" else jnp.maximum
+        acc_update(acc, red(v, axis=0), mrg)
+
+    @pl.when(i == n_i - 1)
+    def _():
+        for o, acc in zip(out_refs, accs):
+            o[:] = acc[:]
+        cnt_out[:] = acc_cnt[:]
+        esc_out[0] = esc_acc[0]
+
+
+def supported(probe_cols, slot_cols, aggs) -> bool:
+    """Static eligibility for the Pallas path: int32 columns only,
+    count/min/max aggregations (sums need int64 accumulation)."""
+    if not all(fn in ("count", "min", "max") for _, fn, _ in aggs):
+        return False
+    cols = list(probe_cols.values()) + list(slot_cols.values())
+    return all(c.dtype == jnp.int32 for c in cols)
+
+
+def fused_join_aggregate(
+    slot_cols: dict[str, jax.Array],    # [span] build columns, slot-dense
+    present: jax.Array,                 # bool [span]
+    m: jax.Array,                       # scalar int32: key of slot 0
+    probe_cols: dict[str, jax.Array],   # [n] int32 each
+    probe_valid: jax.Array,             # bool [n]
+    probe_key: str,
+    replay,                             # fn(bcast, pair) -> (bcast, pair)
+    aggs: list[tuple[str, str, str]],   # (in_col, fn∈count/min/max, out)
+    block: int = 1024,
+    s_loc: int = 1024,
+    interpret: bool = False,
+):
+    """Drop-in for ops/blocked.blocked_join_aggregate (count/min/max subset).
+
+    Returns (out_cols with __key, out_valid, escape) — slot i holds key m+i.
+    """
+    span0 = present.shape[0]
+    n = probe_valid.shape[0]
+    # 1D VMEM arrays tile as (8 sublanes × 128 lanes) = 1024 elements; any
+    # dynamic slice index must be provably 1024-aligned
+    assert s_loc % 1024 == 0, s_loc
+    # span must be a multiple of the window alignment unit and ≥ one double
+    # window (see _kernel's aligned-halves scheme)
+    span = max(-(-span0 // s_loc) * s_loc, 2 * s_loc)
+    spad = span - span0
+    slot_cols = {k: jnp.pad(v, (0, spad)) for k, v in slot_cols.items()}
+    present = jnp.pad(present, (0, spad))
+    pad = (-n) % block
+    pcols = {k: jnp.pad(v, (0, pad)) for k, v in probe_cols.items()}
+    pvalid = jnp.pad(probe_valid, (0, pad)).astype(jnp.int32)
+    npad = n + pad
+
+    probe_names = [probe_key] + [k for k in sorted(pcols) if k != probe_key]
+    slot_names = sorted(slot_cols)
+    grid = (npad // block,)
+
+    kernel = functools.partial(
+        _kernel, probe_names=tuple(probe_names), slot_names=tuple(slot_names),
+        replay=replay, aggs=tuple(aggs), block=block, s_loc=s_loc, span=span)
+
+    blockspec = pl.BlockSpec((block,), lambda i, *_: (i,))
+    spanspec = pl.BlockSpec((span,), lambda i, *_: (0,))
+    na = len(aggs)
+    # trace under 32-bit semantics: the engine runs with jax_enable_x64 (for
+    # exact integer sums at sinks), but weak-int64 scalars from index maps /
+    # literals hit an infinite _convert_helper recursion in Mosaic (int64
+    # scalar → int32); everything in this kernel is int32 anyway
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=([blockspec] * (len(probe_names) + 1)
+                          + [spanspec] * (len(slot_names) + 1)),
+                out_specs=([spanspec] * (na + 1)
+                           + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+                scratch_shapes=([pltpu.VMEM((span,), jnp.int32)] * (na + 1)
+                                + [pltpu.SMEM((1,), jnp.int32)]),
+            ),
+            out_shape=([jax.ShapeDtypeStruct((span,), jnp.int32)] * (na + 1)
+                       + [jax.ShapeDtypeStruct((1,), jnp.int32)]),
+            interpret=interpret,
+        )(m.reshape(1).astype(jnp.int32),
+          *[pcols[k] for k in probe_names], pvalid,
+          *[slot_cols[k] for k in slot_names], present.astype(jnp.int32))
+
+    out_cols = {out: arr[:span0] for (_, _, out), arr in zip(aggs, outs[:na])}
+    cnt, esc = outs[na][:span0], outs[na + 1]
+    out_cols["__key"] = m + jnp.arange(span0, dtype=jnp.int32)
+    return out_cols, cnt > 0, esc[0] > 0

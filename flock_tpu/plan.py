@@ -326,11 +326,14 @@ def fused_local_pass(node: "FusedJoinAggregate",
     take = dict(jn.take)
     slot_aggs = [(src, "max", src) for src in take]
     # slotting is a 1:1 scatter of build rows; ascending build keys span a
-    # whole block, so the blocked path would always escape — scatter directly
+    # whole block, so the DEFAULT blocked window would always escape — a
+    # build_s_loc hint sized to the ascending span (S_LOC_DENSE_IDS) turns
+    # the scatter (~25ns/row) into the blocked one-hot
     slots, present, ovf_b = kernels.dense_group_aggregate(
         {jn.build_key: b_cols[jn.build_key],
          **{s: b_cols[s] for s in take}},
-        b_valid, jn.build_key, slot_aggs, span, allow_blocked=False)
+        b_valid, jn.build_key, slot_aggs, span,
+        allow_blocked=jn.build_s_loc is not None, s_loc=jn.build_s_loc)
     m = jnp.min(jnp.where(b_valid, b_cols[jn.build_key], I32_MAX))
     slot_cols = {dst: slots[src] for src, dst in take.items()}
 

@@ -114,6 +114,7 @@ def _winning_bid_interval(extra_take: tuple = ()) -> Node:
         take=(("a_date_time", "a_date_time"), ("expires", "expires")) + extra_take,
         post_filter=lambda c: (c["b_date_time"] >= c["a_date_time"])
         & (c["b_date_time"] <= c["expires"]),
+        build_s_loc=S_LOC_DENSE_IDS,  # a_id is dense-ascending: blocked slotting
     )
 
 

@@ -40,3 +40,57 @@ def test_pallas_agg_escape_flag():
         jnp.asarray(keys), jnp.asarray(valid), jnp.asarray(vals),
         jnp.int32(0), span, interpret=True)
     assert int(np.asarray(esc)[0]) == 1
+
+
+def test_pallas_fused_join_agg_matches_xla():
+    from flock_tpu.ops import blocked
+    from flock_tpu.pallas import join_agg
+
+    rng = np.random.default_rng(7)
+    span, n = 5000, 8192
+    present = rng.random(span) < 0.8
+    ats = rng.integers(0, 500, span).astype(np.int32)
+    exp = (ats + rng.integers(10, 400, span)).astype(np.int32)
+    m = np.int32(10_000)
+    key = (m + np.clip(np.arange(n) // 2 + rng.integers(-64, 64, n),
+                       0, span - 1)).astype(np.int32)
+    price = rng.integers(1, 10**6, n).astype(np.int32)
+    bts = rng.integers(0, 900, n).astype(np.int32)
+    pv = rng.random(n) < 0.9
+
+    def replay(bc, pair):
+        return bc, pair & (bc["b_ts"] >= bc["ats"]) & (bc["b_ts"] <= bc["exp"])
+
+    aggs = [("price", "max", "final"), ("b_ts", "min", "first")]
+    slots = {"ats": jnp.asarray(ats), "exp": jnp.asarray(exp)}
+    pcols = {"k": jnp.asarray(key), "price": jnp.asarray(price),
+             "b_ts": jnp.asarray(bts)}
+    assert join_agg.supported(pcols, slots, aggs)
+
+    o1, v1, e1 = blocked.blocked_join_aggregate(
+        slots, jnp.asarray(present), jnp.asarray(m), pcols, jnp.asarray(pv),
+        "k", replay, aggs, span, block=1024, s_loc=1024, margin=128)
+    o2, v2, e2 = join_agg.fused_join_aggregate(
+        slots, jnp.asarray(present), jnp.asarray(m), pcols, jnp.asarray(pv),
+        "k", replay, aggs, block=1024, s_loc=1024, interpret=True)
+    assert not bool(e1) and not bool(e2)
+    v1, v2 = np.asarray(v1), np.asarray(v2)
+    np.testing.assert_array_equal(v1, v2)
+    for c in ("final", "first", "__key"):
+        np.testing.assert_array_equal(np.asarray(o1[c])[v1],
+                                      np.asarray(o2[c])[v2])
+
+
+def test_pallas_fused_join_agg_escape():
+    from flock_tpu.pallas import join_agg
+
+    rng = np.random.default_rng(8)
+    span, n = 8192, 4096
+    present = np.ones(span, bool)
+    key = rng.integers(0, span, n).astype(np.int32)  # fully random: escapes
+    pcols = {"k": jnp.asarray(key), "v": jnp.ones(n, jnp.int32)}
+    out, valid, esc = join_agg.fused_join_aggregate(
+        {"x": jnp.zeros(span, jnp.int32)}, jnp.asarray(present),
+        jnp.int32(0), pcols, jnp.ones(n, bool), "k",
+        lambda bc, pair: (bc, pair), [("v", "max", "vm")], interpret=True)
+    assert bool(esc)
