@@ -137,6 +137,91 @@ def supported(probe_cols, slot_cols, aggs) -> bool:
     return all(c.dtype == jnp.int32 for c in cols)
 
 
+def enabled() -> bool:
+    """Pallas fused kernels: on for the TPU backend, overridable with
+    FLOCK_TPU_PALLAS=0/1 (tests force-enable via interpret mode)."""
+    import os
+
+    v = os.environ.get("FLOCK_TPU_PALLAS")
+    if v is not None:
+        return v != "0"
+    return jax.default_backend() == "tpu"
+
+
+def eligible(slot_cols, probe_cols, replay, aggs) -> bool:
+    """Static eligibility for ``fused_join_aggregate_rebased``: count/min/max
+    aggregations whose accumulators are int32 (checked by replaying the plan
+    segment on abstract inputs), over int32/int64 columns.
+
+    int64 columns are rebased to window-relative int32 offsets before the
+    kernel, which preserves comparisons and differences — the only uses the
+    engine's plan segments make of timestamps (interval predicates like
+    q4/q9's ``b_date_time BETWEEN a_date_time AND expires``).  Aggregated
+    values must already be int32 on the *original* dtypes, so no rebased
+    quantity is ever aggregated.
+    """
+    if not all(fn in ("count", "min", "max") for _, fn, _ in aggs):
+        return False
+    cols = list(slot_cols.values()) + list(probe_cols.values())
+    if not all(c.dtype in (jnp.int32, jnp.int64) for c in cols):
+        return False
+    from flock_tpu.ops import blocked
+
+    try:
+        dts = blocked.fused_acc_dtypes(slot_cols, probe_cols, replay,
+                                       list(aggs))
+    except Exception:  # noqa: BLE001 — any trace failure ⇒ take the XLA path
+        return False
+    return all(dt == jnp.dtype(jnp.int32) for dt in dts.values())
+
+
+def fused_join_aggregate_rebased(
+    slot_cols, present, m, probe_cols, probe_valid, probe_key, replay, aggs,
+    block: int = 1024, s_loc: int = 1024, interpret: bool = False,
+):
+    """``fused_join_aggregate`` with automatic int64→int32 rebasing.
+
+    All int64 columns (timestamps) are shifted by one shared base — the
+    minimum over the window's live values — so comparisons/differences
+    between them are exact in int32.  A window whose int64 values span ≥2³¹
+    (never happens for stream timestamps inside one window) raises the escape
+    flag instead, routing callers to their existing fallback.
+    """
+    import functools as _ft
+
+    i64_probe = [k for k, v in probe_cols.items() if v.dtype == jnp.int64]
+    i64_slot = [k for k, v in slot_cols.items() if v.dtype == jnp.int64]
+    if not i64_probe and not i64_slot:
+        return fused_join_aggregate(
+            slot_cols, present, m, probe_cols, probe_valid, probe_key,
+            replay, aggs, block=block, s_loc=s_loc, interpret=interpret)
+
+    I64_MAX = np.int64(2**63 - 1)
+    I64_MIN = np.int64(-(2**63))
+    los = [jnp.min(jnp.where(probe_valid, probe_cols[k], I64_MAX))
+           for k in i64_probe]
+    los += [jnp.min(jnp.where(present, slot_cols[k], I64_MAX))
+            for k in i64_slot]
+    his = [jnp.max(jnp.where(probe_valid, probe_cols[k], I64_MIN))
+           for k in i64_probe]
+    his += [jnp.max(jnp.where(present, slot_cols[k], I64_MIN))
+            for k in i64_slot]
+    base = _ft.reduce(jnp.minimum, los)
+    hi = _ft.reduce(jnp.maximum, his)
+    # empty window: hi - base wraps negative → unsigned compare stays safe
+    ok64 = (hi <= base + np.int64(2**31 - 2)) | (hi < base)
+
+    def rb(v):
+        return jnp.clip(v - base, 0, np.int64(2**31 - 2)).astype(jnp.int32)
+
+    pc = {k: (rb(v) if k in i64_probe else v) for k, v in probe_cols.items()}
+    sc = {k: (rb(v) if k in i64_slot else v) for k, v in slot_cols.items()}
+    out, valid, esc = fused_join_aggregate(
+        sc, present, m, pc, probe_valid, probe_key, replay, aggs,
+        block=block, s_loc=s_loc, interpret=interpret)
+    return out, valid, esc | ~ok64
+
+
 def fused_join_aggregate(
     slot_cols: dict[str, jax.Array],    # [span] build columns, slot-dense
     present: jax.Array,                 # bool [span]

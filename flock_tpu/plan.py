@@ -356,10 +356,21 @@ def fused_local_pass(node: "FusedJoinAggregate",
     pad = (-n) % AGG_BLOCK
     pcols = {k: jnp.pad(v, (0, pad)) for k, v in p_cols.items()}
     pvalid = jnp.pad(p_valid, (0, pad))
-    out, ovalid, esc = blocked.blocked_join_aggregate(
-        slot_cols, present, m, pcols, pvalid, jn.probe_key, replay,
-        list(node.aggs), span, block=min(AGG_BLOCK, n + pad),
-        s_loc=AGG_S_LOC)
+    from flock_tpu.pallas import join_agg
+
+    if join_agg.enabled() and join_agg.eligible(
+            slot_cols, pcols, replay, list(node.aggs)):
+        # Pallas path: span accumulators live in VMEM across the grid instead
+        # of round-tripping HBM per block (int64 timestamps are rebased to
+        # window-relative int32; out-of-range windows escape to the fallback)
+        out, ovalid, esc = join_agg.fused_join_aggregate_rebased(
+            slot_cols, present, m, pcols, pvalid, jn.probe_key, replay,
+            list(node.aggs))
+    else:
+        out, ovalid, esc = blocked.blocked_join_aggregate(
+            slot_cols, present, m, pcols, pvalid, jn.probe_key, replay,
+            list(node.aggs), span, block=min(AGG_BLOCK, n + pad),
+            s_loc=AGG_S_LOC)
     out[node.group_key] = out.pop("__key")
     return out, ovalid & present, ovf_b, esc, span
 

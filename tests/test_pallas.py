@@ -94,3 +94,75 @@ def test_pallas_fused_join_agg_escape():
         jnp.int32(0), pcols, jnp.ones(n, bool), "k",
         lambda bc, pair: (bc, pair), [("v", "max", "vm")], interpret=True)
     assert bool(esc)
+
+
+def test_pallas_rebased_int64_matches_xla():
+    """int64 timestamp columns rebase to window-relative int32 exactly
+    (the q4/q9 interval-predicate shape)."""
+    from flock_tpu.ops import blocked
+    from flock_tpu.pallas import join_agg
+
+    rng = np.random.default_rng(11)
+    span, n = 4096, 8192
+    base_ms = 1_436_918_400_000
+    present = rng.random(span) < 0.8
+    ats = (base_ms + rng.integers(0, 500, span)).astype(np.int64)
+    exp = ats + rng.integers(10, 400, span).astype(np.int64)
+    m = np.int32(10_000)
+    key = (m + np.clip(np.arange(n) // 2 + rng.integers(-64, 64, n),
+                       0, span - 1)).astype(np.int32)
+    price = rng.integers(1, 10**6, n).astype(np.int32)
+    bts = (base_ms + rng.integers(0, 900, n)).astype(np.int64)
+    pv = rng.random(n) < 0.9
+
+    def replay(bc, pair):
+        return bc, pair & (bc["b_ts"] >= bc["ats"]) & (bc["b_ts"] <= bc["exp"])
+
+    aggs = [("price", "max", "final"), (None, "count", "cnt")]
+    slots = {"ats": jnp.asarray(ats), "exp": jnp.asarray(exp)}
+    pcols = {"k": jnp.asarray(key), "price": jnp.asarray(price),
+             "b_ts": jnp.asarray(bts)}
+    assert join_agg.eligible(slots, pcols, replay, aggs)
+    assert not join_agg.supported(pcols, slots, aggs)  # int64 needs rebasing
+
+    o1, v1, e1 = blocked.blocked_join_aggregate(
+        slots, jnp.asarray(present), jnp.asarray(m), pcols, jnp.asarray(pv),
+        "k", replay, aggs, span, block=1024, s_loc=1024, margin=128)
+    o2, v2, e2 = join_agg.fused_join_aggregate_rebased(
+        slots, jnp.asarray(present), jnp.asarray(m), pcols, jnp.asarray(pv),
+        "k", replay, aggs, block=1024, s_loc=1024, interpret=True)
+    assert not bool(e1) and not bool(e2)
+    v1, v2 = np.asarray(v1), np.asarray(v2)
+    np.testing.assert_array_equal(v1, v2)
+    for c in ("final", "cnt", "__key"):
+        np.testing.assert_array_equal(np.asarray(o1[c])[v1],
+                                      np.asarray(o2[c])[v2])
+
+
+def test_q4_pallas_path_matches_default(monkeypatch):
+    """End-to-end q4 through the plan lowering with the Pallas fused kernel
+    (interpret mode) must equal the XLA blocked path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flock_tpu.batch import Batch
+    from flock_tpu.plan import compile_plan
+    from flock_tpu.queries.nexmark import get_query
+    import __graft_entry__ as ge
+
+    tables = {rel: Batch.from_numpy(cols)
+              for rel, cols in ge._example_tables().items()}
+    spec = get_query(4)
+
+    out_ref, ovf_ref = jax.jit(compile_plan(spec.plan, agg_capacity=1024))(tables)
+    assert not bool(ovf_ref)
+
+    monkeypatch.setenv("FLOCK_TPU_PALLAS", "1")
+    with pltpu.force_tpu_interpret_mode():
+        out_p, ovf_p = compile_plan(spec.plan, agg_capacity=1024)(tables)
+    assert not bool(ovf_p)
+
+    vr, vp = np.asarray(out_ref.valid), np.asarray(out_p.valid)
+    np.testing.assert_array_equal(vr, vp)
+    for c in out_ref.columns:
+        np.testing.assert_array_equal(np.asarray(out_ref.columns[c])[vr],
+                                      np.asarray(out_p.columns[c])[vp])
