@@ -33,12 +33,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from flock_tpu.config import CONFIG
 from flock_tpu.datagen.nexmark import BASE_TIME
 
 TS_BASE = BASE_TIME  # sinks add this back to int32 relative-ms timestamps
 
 
-def round_up(n: int, m: int = 128) -> int:
+def round_up(n: int, m: int | None = None) -> int:
+    m = m or CONFIG.capacity_round
     return ((n + m - 1) // m) * m
 
 

@@ -71,6 +71,9 @@ def cmd_nexmark(args) -> int:
         if sink:
             print(f"sink[{args.sink}]: {sink.read()}")
     print(f"elapsed: {time.perf_counter() - t0:.2f}s")
+    if args.metrics:
+        from flock_tpu.utils.metrics import METRICS
+        print(METRICS.report())
     return 0
 
 
@@ -192,8 +195,11 @@ def main(argv=None) -> int:
     nr.add_argument("-e", "--eps", type=int, default=10_000)
     nr.add_argument("-g", "--generators", type=int, default=1)
     nr.add_argument("--distributed", action="store_true")
-    nr.add_argument("--shards", type=int, default=8)
+    from flock_tpu.config import CONFIG
+    nr.add_argument("--shards", type=int, default=CONFIG.target_partitions)
     nr.add_argument("--show", type=int, default=0)
+    nr.add_argument("--metrics", action="store_true",
+                    help="print the per-query metrics registry after the run")
     nr.add_argument("--sink", choices=["blackhole", "memory", "file"],
                     default=None)
     nr.set_defaults(fn=cmd_nexmark)

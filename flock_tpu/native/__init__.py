@@ -1,7 +1,11 @@
-"""Build/load the native generator library (C++ → libflockgen.so via g++).
+"""Build/load the native libraries (C++ → .so via g++, loaded with ctypes).
 
-The shared library is compiled on demand into the package directory (or a
-cache dir if that is read-only) and loaded with ctypes.  No external deps.
+Two libraries, compiled on demand into the package directory (or a cache dir
+if that is read-only).  No external deps.
+
+* ``libflockgen.so``  — the NEXMark event generator fast path (flockgen.cpp)
+* ``libflockcodec.so`` — the LZ4 payload codec (codec.cpp), used by
+  runtime/payload.py when ``codec="lz4"``
 """
 
 from __future__ import annotations
@@ -12,39 +16,79 @@ import subprocess
 import tempfile
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "flockgen.cpp")
-_LIB_NAME = "libflockgen.so"
 
-_lib = None
+_libs: dict[str, ctypes.CDLL] = {}
 
 
-def _build(out_path: str) -> None:
+def _build(src: str, out_path: str) -> None:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-o", out_path, _SRC, "-lm",
+        "-o", out_path, src, "-lm",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
-def get_lib() -> ctypes.CDLL:
-    """Compile (if stale/missing) and load libflockgen.so."""
-    global _lib
-    if _lib is not None:
-        return _lib
-
+def _load(src_name: str, lib_name: str) -> ctypes.CDLL:
+    if lib_name in _libs:
+        return _libs[lib_name]
+    src = os.path.join(_HERE, src_name)
     candidates = [
-        os.path.join(_HERE, _LIB_NAME),
-        os.path.join(tempfile.gettempdir(), "flock_tpu", _LIB_NAME),
+        os.path.join(_HERE, lib_name),
+        os.path.join(tempfile.gettempdir(), "flock_tpu", lib_name),
     ]
     for path in candidates:
         try:
             stale = (not os.path.exists(path)
-                     or os.path.getmtime(path) < os.path.getmtime(_SRC))
+                     or os.path.getmtime(path) < os.path.getmtime(src))
             if stale:
                 os.makedirs(os.path.dirname(path), exist_ok=True)
-                _build(path)
-            _lib = ctypes.CDLL(path)
-            return _lib
+                _build(src, path)
+            _libs[lib_name] = ctypes.CDLL(path)
+            return _libs[lib_name]
         except (OSError, subprocess.CalledProcessError):
             continue
-    raise RuntimeError("could not build or load libflockgen.so")
+    raise RuntimeError(f"could not build or load {lib_name}")
+
+
+def get_lib() -> ctypes.CDLL:
+    """Compile (if stale/missing) and load libflockgen.so."""
+    return _load("flockgen.cpp", "libflockgen.so")
+
+
+def get_codec_lib() -> ctypes.CDLL:
+    """Compile (if stale/missing) and load libflockcodec.so, with argtypes."""
+    lib = _load("codec.cpp", "libflockcodec.so")
+    if not getattr(lib, "_flock_typed", False):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.flock_lz4_max_compressed.restype = ctypes.c_int64
+        lib.flock_lz4_max_compressed.argtypes = [ctypes.c_int64]
+        for fn in (lib.flock_lz4_compress, lib.flock_lz4_decompress):
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+        lib._flock_typed = True
+    return lib
+
+
+def lz4_compress(data: bytes) -> bytes:
+    lib = get_codec_lib()
+    cap = lib.flock_lz4_max_compressed(len(data))
+    dst = ctypes.create_string_buffer(cap)
+    src = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    n = lib.flock_lz4_compress(
+        ctypes.cast(src, ctypes.POINTER(ctypes.c_uint8)), len(data),
+        ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        raise ValueError("lz4 compression failed")
+    return dst.raw[:n]
+
+
+def lz4_decompress(data: bytes, out_size: int) -> bytes:
+    lib = get_codec_lib()
+    dst = ctypes.create_string_buffer(max(out_size, 1))
+    src = (ctypes.c_uint8 * max(len(data), 1)).from_buffer_copy(data or b"\0")
+    n = lib.flock_lz4_decompress(
+        ctypes.cast(src, ctypes.POINTER(ctypes.c_uint8)), len(data),
+        ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)), out_size)
+    if n != out_size:
+        raise ValueError(f"lz4 decompression failed ({n} != {out_size})")
+    return dst.raw[:n]

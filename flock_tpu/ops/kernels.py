@@ -354,7 +354,7 @@ def lookup_join(
     probe_valid: jax.Array,
     probe_key: str,
     take: dict[str, str],  # build col → output name
-    span_margin: int = 8192,
+    span_margin: int | None = None,
     probe_s_loc: int | None = None,
     build_s_loc: int | None = None,
     build_slotted: bool = False,
@@ -380,8 +380,11 @@ def lookup_join(
     striping (ids jump by (100_000/num_generators)*proportion between
     partitions, event.rs:86-88): ≤6000 slots for auctions, ≤2000 for persons.
     """
+    from flock_tpu.config import CONFIG
     from flock_tpu.ops import blocked
 
+    if span_margin is None:
+        span_margin = CONFIG.join_span_margin
     bk = build_cols[build_key]
     if build_slotted:
         # build side is already a dense-slot aggregate output (slot i holds

@@ -39,6 +39,7 @@ from flock_tpu.plan import (
     Project,
     Rank,
     Scan,
+    Sort,
     fuse_join_aggregates,
     fused_local_pass,
 )
@@ -110,13 +111,33 @@ def lower_dist(node: Node, tables: dict, ctx: _Ctx):
 
     if isinstance(node, Rank):
         cols, valid, ovf = lower_dist(node.child, tables, ctx)
+        # per-destination buffers sized like the aggregate path (4× the
+        # average, floor 2048) so post-shuffle rank work SHRINKS with the
+        # shard count instead of growing n_shards× (a full-cap buffer made
+        # per-shard post-shuffle capacity n·cap); hot-key skew beyond the 4×
+        # headroom raises the overflow flag and the caller widens
+        cap = valid.shape[0]
+        per_dest = min(cap, max(4 * (cap // ctx.n_shards), 2048))
         scols, svalid, o2 = all_to_all_shuffle(
             cols, valid, [node.group_key], ctx.n_shards,
-            per_dest_cap=valid.shape[0], axis=ctx.axis)
+            per_dest_cap=per_dest, axis=ctx.axis)
         rcols, rvalid = kernels.rank_in_group(
             scols, svalid, node.group_key, node.order_col, node.descending,
             node.rank_name, node.tiebreak)
         return rcols, rvalid, ovf | o2
+
+    if isinstance(node, Sort):
+        # global sort = coalesce-to-one-partition semantics (DataFusion's
+        # SortExec, the stage boundary Flock chops at, stage.rs:329-340):
+        # all_gather every shard's rows, sort locally (deterministic and
+        # identical on every shard), keep the result valid on shard 0 only so
+        # the merged output holds each row exactly once
+        cols, valid, ovf = lower_dist(node.child, tables, ctx)
+        gcols, gvalid = broadcast_gather(cols, valid, ctx.axis)
+        desc = node.descending or (False,) * len(node.keys)
+        scols, svalid = kernels.sort_rows(gcols, gvalid, list(node.keys), desc)
+        mine = jax.lax.axis_index(ctx.axis) == 0
+        return scols, svalid & mine, ovf
 
     if isinstance(node, Compact):
         cols, valid, ovf = lower_dist(node.child, tables, ctx)
@@ -242,9 +263,17 @@ class DistributedExecutor:
                 flat_inputs.append(np.stack(stacked[nm]))
             flat_inputs.append(np.stack(valids))
 
-        agg_cap = self.agg_capacity or (max(c for _, c in cap_sig) + 8192)
+        from flock_tpu.config import CONFIG
+        from flock_tpu.utils.metrics import METRICS
+
+        agg_cap = self.agg_capacity or (
+            max(c for _, c in cap_sig) + CONFIG.agg_span_margin)
         fm, names_box = self._fn(tuple(cap_sig), agg_cap, tuple(col_names))
-        outs = fm(*flat_inputs)
+        METRICS.count(f"q{self.spec.number}.dist_windows")
+        METRICS.count(f"q{self.spec.number}.dist_bytes_in",
+                      sum(int(np.asarray(a).nbytes) for a in flat_inputs))
+        with METRICS.timer(f"q{self.spec.number}.dist_execute_s"):
+            outs = fm(*flat_inputs)
         out_names = names_box["names"]
         *col_arrays, valid, ovf = outs
         if bool(np.asarray(ovf).any()):

@@ -318,11 +318,12 @@ def fused_local_pass(node: "FusedJoinAggregate",
     Shared by the single-device lowering and the distributed lowering (where
     the build side arrives broadcast-gathered and the output is a per-shard
     partial).  Returns (out_cols, valid, slot_overflow, escape, span)."""
+    from flock_tpu.config import CONFIG
     from flock_tpu.ops import blocked
     from flock_tpu.ops.kernels import AGG_BLOCK, AGG_S_LOC, I32_MAX
 
     jn = node.join
-    span = b_valid.shape[0] + 8192
+    span = b_valid.shape[0] + CONFIG.join_span_margin
     take = dict(jn.take)
     slot_aggs = [(src, "max", src) for src in take]
     # slotting is a 1:1 scatter of build rows; ascending build keys span a

@@ -26,6 +26,7 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 
 from flock_tpu.batch import Schema
+from flock_tpu.config import CONFIG
 from flock_tpu.datagen.nexmark import FIRST_NAMES, LAST_NAMES, US_CITIES, US_STATES
 from flock_tpu.ops.kernels import (S_LOC_DENSE_IDS, S_LOC_PERSON_OVER_AUCTION,
                                    S_LOC_PERSON_OVER_BID)
@@ -288,7 +289,7 @@ def q11() -> QuerySpec:
         (("bidder", "bidder"), ("bid_count", "bid_count"),
          ("start_time", "start_time"), ("end_time", "end_time")),
     )
-    return QuerySpec(11, plan, ("session", 10), ("bid",),
+    return QuerySpec(11, plan, ("session", CONFIG.session_gap_s), ("bid",),
                      Schema(["bidder", "bid_count", "start_time", "end_time"],
                             timestamp_cols=("start_time", "end_time")))
 
@@ -301,7 +302,7 @@ def q12() -> QuerySpec:
                            ("p_time", "min", "start_time"),
                            ("p_time", "max", "end_time")),
                      s_loc=S_LOC_PERSON_OVER_BID)
-    return QuerySpec(12, plan, ("global", 10), ("bid",),
+    return QuerySpec(12, plan, ("global", CONFIG.ptime_window_s), ("bid",),
                      Schema(["bidder", "bid_count", "start_time", "end_time"]))
 
 

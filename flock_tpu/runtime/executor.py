@@ -16,8 +16,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from flock_tpu.batch import Batch, round_up
+from flock_tpu.config import CONFIG
 from flock_tpu.plan import compile_plan
 from flock_tpu.queries.nexmark import QuerySpec
+from flock_tpu.utils.metrics import METRICS
 
 
 class OverflowError(RuntimeError):
@@ -86,8 +88,12 @@ class LocalExecutor:
                         check_overflow: bool = True) -> Batch:
         """Run the jitted plan over device-resident Batches (compute only)."""
         agg_cap = self.agg_capacity or (
-            max(b.capacity for b in batches.values()) + 8192)
-        out, overflow = _run_plan(self.spec.plan, agg_cap, batches)
+            max(b.capacity for b in batches.values()) + CONFIG.agg_span_margin)
+        METRICS.count(f"q{self.spec.number}.windows")
+        METRICS.count(f"q{self.spec.number}.rows_in",
+                      sum(b.capacity for b in batches.values()))
+        with METRICS.timer(f"q{self.spec.number}.execute_s"):
+            out, overflow = _run_plan(self.spec.plan, agg_cap, batches)
         if check_overflow and bool(overflow):
             caps = tuple(sorted((r, b.capacity) for r, b in batches.items()))
             raise OverflowError(
@@ -114,9 +120,14 @@ class LocalExecutor:
         caps = tuple(sorted(
             (rel, b.capacity) for rel, b in epoch_tables[0].items()))
         agg_cap = self.agg_capacity or (
-            len(epoch_tables) * max(c for _, c in caps) + 8192)
-        out, overflow = _run_plan_epochs(self.spec.plan, agg_cap,
-                                         epoch_tables, static_tables)
+            len(epoch_tables) * max(c for _, c in caps)
+            + CONFIG.agg_span_margin)
+        METRICS.count(f"q{self.spec.number}.windows")
+        METRICS.count(f"q{self.spec.number}.rows_in",
+                      len(epoch_tables) * sum(c for _, c in caps))
+        with METRICS.timer(f"q{self.spec.number}.execute_s"):
+            out, overflow = _run_plan_epochs(self.spec.plan, agg_cap,
+                                             epoch_tables, static_tables)
         if check_overflow and bool(overflow):
             raise OverflowError(
                 f"q{self.spec.number}: static capacity exceeded "
@@ -131,7 +142,8 @@ class LocalExecutor:
         """
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *windows)
         agg_cap = self.agg_capacity or (
-            max(b.capacity for b in windows[0].values()) + 8192)
+            max(b.capacity for b in windows[0].values())
+            + CONFIG.agg_span_margin)
         out, overflow = _run_plan_stacked(self.spec.plan, agg_cap, stacked)
         if check_overflow and bool(np.asarray(overflow).any()):
             raise OverflowError(f"q{self.spec.number}: capacity exceeded")

@@ -1,14 +1,18 @@
 """Payload wire format: serialized, compressed columnar fragments.
 
 Reference counterpart: flock/src/runtime/payload.rs — Arrow-Flight frames,
-per-batch compressed (zstd/lz4/snappy), addressed by ``Uuid{qid, seq_num,
-seq_len}`` so an arena can reassemble a window from N fragments.
+per-batch compressed (zstd/lz4/snappy, flock/src/encoding.rs:27-112),
+addressed by ``Uuid{qid, seq_num, seq_len}`` so an arena can reassemble a
+window from N fragments.
 
 On a TPU mesh, live data never leaves HBM (collectives replace payload hops),
 so this format serves the *persistence* paths instead: window-state
-checkpoints, the state backend (S3 analogue), and host-to-host spill.  Codec:
-zlib (stdlib) with level as the knob; the fragment header mirrors the
-reference Uuid addressing for arena reassembly.
+checkpoints, the state backend (S3 analogue), and host-to-host spill.
+
+Codecs (the Encoding enum analogue): ``zlib`` (stdlib, level knob mirrors
+zstd default=3), ``lz4`` (the from-scratch native block codec,
+native/codec.cpp), and ``none``.  The codec rides in the fragment header so
+any decoder handles any producer's payloads.
 """
 
 from __future__ import annotations
@@ -19,6 +23,14 @@ import zlib
 from dataclasses import dataclass, field
 
 import numpy as np
+
+CODECS = ("zlib", "lz4", "none")
+
+
+def _default_codec() -> str:
+    from flock_tpu.config import CONFIG
+
+    return CONFIG.payload_codec
 
 
 @dataclass(frozen=True)
@@ -40,8 +52,34 @@ class Payload:
     metadata: dict = field(default_factory=dict)
 
 
-def encode(payload: Payload, level: int = 3) -> bytes:
-    """Serialize + compress one payload (level mirrors zstd default=3)."""
+def _compress(raw: bytes, codec: str, level: int) -> bytes:
+    if codec == "zlib":
+        return zlib.compress(raw, level)
+    if codec == "lz4":
+        from flock_tpu.native import lz4_compress
+
+        return lz4_compress(raw)
+    if codec == "none":
+        return raw
+    raise ValueError(f"unknown codec {codec!r} (expected one of {CODECS})")
+
+
+def _decompress(body: bytes, codec: str, nbytes: int) -> bytes:
+    if codec == "zlib":
+        return zlib.decompress(body)
+    if codec == "lz4":
+        from flock_tpu.native import lz4_decompress
+
+        return lz4_decompress(body, nbytes)
+    if codec == "none":
+        return body
+    raise ValueError(f"unknown codec {codec!r} (expected one of {CODECS})")
+
+
+def encode(payload: Payload, level: int = 3, codec: str | None = None) -> bytes:
+    """Serialize + compress one payload.  ``codec`` defaults to
+    CONFIG.payload_codec; the choice is recorded in the header."""
+    codec = codec or _default_codec()
     buf = io.BytesIO()
     np.savez(buf, **payload.columns)
     raw = buf.getvalue()
@@ -52,15 +90,17 @@ def encode(payload: Payload, level: int = 3) -> bytes:
         "shuffle_id": payload.fragment.shuffle_id,
         "metadata": payload.metadata,
         "nbytes": len(raw),
+        "codec": codec,
     }).encode()
-    body = zlib.compress(raw, level)
+    body = _compress(raw, codec, level)
     return len(header).to_bytes(4, "little") + header + body
 
 
 def decode(data: bytes) -> Payload:
     hlen = int.from_bytes(data[:4], "little")
     header = json.loads(data[4:4 + hlen])
-    raw = zlib.decompress(data[4 + hlen:])
+    raw = _decompress(data[4 + hlen:], header.get("codec", "zlib"),
+                      header["nbytes"])
     with np.load(io.BytesIO(raw)) as z:
         cols = {k: z[k] for k in z.files}
     return Payload(
@@ -71,11 +111,17 @@ def decode(data: bytes) -> Payload:
     )
 
 
-def to_fragments(cols: dict[str, np.ndarray], qid: str, granule: int,
+def to_fragments(cols: dict[str, np.ndarray], qid: str,
+                 granule: int | None = None,
                  shuffle_id: int = 0, metadata: dict | None = None
                  ) -> list[Payload]:
     """Slice a window's columns into granule-sized fragments (the payload
-    granularity analogue, flock.toml:59-61)."""
+    granularity analogue, flock.toml:59-61).  ``granule`` defaults to
+    CONFIG.sync_granule."""
+    if granule is None:
+        from flock_tpu.config import CONFIG
+
+        granule = CONFIG.sync_granule
     n = len(next(iter(cols.values()))) if cols else 0
     seq_len = max(1, -(-n // granule))
     out = []

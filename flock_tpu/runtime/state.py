@@ -53,12 +53,18 @@ class MemoryStateBackend(StateBackend):
                       if (q, p, sh) == (qid, plan_idx, shuffle_id))
 
 
+def _default_state_dir() -> str:
+    from flock_tpu.config import CONFIG
+
+    return CONFIG.state_dir
+
+
 @dataclass
 class FileStateBackend(StateBackend):
     """S3 analogue on the local filesystem: <root>/<qid>/<plan_idx>/
     <shuffle_id>/<seq_num> (key layout from state/s3.rs:108-186)."""
 
-    root: str = "/tmp/flock_tpu_state"
+    root: str = field(default_factory=_default_state_dir)
 
     def _path(self, qid, plan_idx, shuffle_id, seq_num=None):
         p = os.path.join(self.root, qid, str(plan_idx), str(shuffle_id))

@@ -238,8 +238,9 @@ class StreamDriver:
                 except OverflowError:
                     if attempt == 5:
                         raise
+                    from flock_tpu.config import CONFIG
                     base = self.executor.agg_capacity or (
-                        max(caps.values()) + 8192)
+                        max(caps.values()) + CONFIG.agg_span_margin)
                     self.executor.agg_capacity = base * 4
             out.append(WindowResult(tag, self.executor.materialize(b)))
         return out

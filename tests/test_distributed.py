@@ -54,7 +54,21 @@ def shard_window(epoch_parts, rng, relations, broadcast=None):
     return out
 
 
-@pytest.mark.parametrize("qnum", [0, 2, 3, 4, 5, 6, 9, 11, 13])
+def _augment(tables):
+    """Executor-level stand-ins for driver-attached columns: __session (q11,
+    synthetic ids — real sessionization is covered by test_dist_stream) and
+    p_time (q12)."""
+    bid = dict(tables["bid"])
+    bid["__session"] = (bid["bidder"] % 7).astype(np.int32)
+    # per-row-deterministic (shard-independent) synthetic processing time
+    bid["p_time"] = (bid["b_date_time"] // 1000 % 100_000).astype(
+        np.int32) * 1000
+    tables = dict(tables)
+    tables["bid"] = bid
+    return tables
+
+
+@pytest.mark.parametrize("qnum", sorted(range(14)))
 def test_distributed_matches_local(qnum, epoch_parts):
     spec = get_query(qnum)
     rels = tuple(r for r in spec.relations if r != "side_input")
@@ -66,25 +80,43 @@ def test_distributed_matches_local(qnum, epoch_parts):
     if "side_input" in spec.relations:
         broadcast["side_input"] = default_side_input()
         tables["side_input"] = broadcast["side_input"]
-    if qnum == 11:
-        # feed sessions as a plain column for executor-level equivalence
-        for t in (tables,):
-            t["bid"] = dict(t["bid"])
-            t["bid"]["__session"] = (t["bid"]["bidder"] % 7).astype(np.int32)
+    if qnum in (11, 12):
+        tables = _augment(tables)
 
     local = LocalExecutor(spec)
     got_local = local.materialize(local.execute_window(tables))
 
     shard_tables = shard_window(epoch_parts, rng, rels, broadcast)
-    if qnum == 11:
-        for st in shard_tables:
-            st["bid"] = dict(st["bid"])
-            st["bid"]["__session"] = (st["bid"]["bidder"] % 7).astype(np.int32)
+    if qnum in (11, 12):
+        shard_tables = [_augment(st) for st in shard_tables]
     dist = DistributedExecutor(spec, N_SHARDS)
     got_dist = materialize_columns(spec, dist.execute_window(shard_tables))
 
     names = spec.schema.names
     assert rows(got_dist, names) == rows(got_local, names), f"q{qnum}"
+
+
+def test_distributed_sql_sort(epoch_parts):
+    """SQL-lowered plans containing Sort (ORDER BY) execute distributed:
+    the Sort lowers to a coalesce-to-one-partition gather (DataFusion
+    SortExec semantics) and stays row-exact vs local."""
+    from flock_tpu.sql.catalog import nexmark_catalog
+    from flock_tpu.sql.lower import sql_to_spec
+
+    sql = ("SELECT auction, price FROM bid WHERE auction % 123 = 0 "
+           "ORDER BY price DESC, auction;")
+    spec = sql_to_spec(sql, nexmark_catalog())
+    rng = range(SECONDS)
+    merged_parts = [p for t in rng for p in epoch_parts[t]]
+    tables = dict(concat_relations(merged_parts, ("bid",)))
+
+    local = LocalExecutor(spec)
+    got_local = local.materialize(local.execute_window(tables))
+    dist = DistributedExecutor(spec, N_SHARDS)
+    got_dist = materialize_columns(
+        spec, dist.execute_window(shard_window(epoch_parts, rng, ("bid",))))
+    names = spec.schema.names
+    assert rows(got_dist, names) == rows(got_local, names)
 
 
 def test_distributed_ysb_matches_local():

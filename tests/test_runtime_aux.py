@@ -44,6 +44,42 @@ def test_payload_roundtrip_and_compression():
     assert len(data) < raw_bytes
 
 
+@pytest.mark.parametrize("codec", ["zlib", "lz4", "none"])
+def test_payload_codecs_roundtrip(codec):
+    """Every codec roundtrips; the codec rides in the header so any decoder
+    handles any producer's payloads (encoding.rs Encoding analogue)."""
+    p = Payload(FragmentId("qx", 0, 1), _cols(3000, seed=7),
+                metadata={"codec_test": codec})
+    data = encode(p, codec=codec)
+    q = decode(data)
+    assert q.metadata == p.metadata
+    for k in p.columns:
+        assert np.array_equal(p.columns[k], q.columns[k])
+
+
+def test_lz4_native_codec():
+    """The from-scratch LZ4 block codec (native/codec.cpp) compresses
+    repetitive data and roundtrips arbitrary bytes."""
+    from flock_tpu.native import lz4_compress, lz4_decompress
+
+    rep = b"flock-tpu " * 10_000
+    comp = lz4_compress(rep)
+    assert len(comp) < len(rep) // 10
+    assert lz4_decompress(comp, len(rep)) == rep
+    rnd = np.random.default_rng(3).integers(0, 256, 65_536).astype(
+        np.uint8).tobytes()
+    assert lz4_decompress(lz4_compress(rnd), len(rnd)) == rnd
+    # lz4-coded payloads beat "none" on low-entropy columns
+    p = Payload(FragmentId("qz", 0, 1), {"a": np.arange(50_000, dtype=np.int64)})
+    assert len(encode(p, codec="lz4")) < len(encode(p, codec="none"))
+
+
+def test_config_default_codec():
+    assert EngineConfig().payload_codec == "zlib"
+    cfg = load_config(None)
+    assert cfg.payload_codec in ("zlib", "lz4", "none")
+
+
 def test_fragment_slicing():
     frags = to_fragments(_cols(1000), "qid", granule=300)
     assert [f.fragment.seq_num for f in frags] == [0, 1, 2, 3]
@@ -120,3 +156,23 @@ def test_metrics():
         pass
     assert m.counters["rows"] == 500
     assert "rows" in m.to_json()
+
+
+def test_executor_records_metrics():
+    """Engine paths feed the global METRICS registry (per-query windows,
+    rows, execute time) — the observability the CLI surfaces via --metrics."""
+    from flock_tpu.queries.nexmark import get_query
+    from flock_tpu.runtime.executor import LocalExecutor
+    from flock_tpu.utils.metrics import METRICS
+
+    before = METRICS.counters.get("q2.windows", 0)
+    ex = LocalExecutor(get_query(2))
+    ex.execute_window({"bid": {
+        "auction": np.array([123, 246, 5], np.int32),
+        "bidder": np.array([1, 2, 3], np.int32),
+        "price": np.array([10, 20, 30], np.int32),
+        "b_date_time": np.array([0, 1, 2], np.int32),
+    }})
+    assert METRICS.counters["q2.windows"] == before + 1
+    assert METRICS.counters["q2.rows_in"] >= 3
+    assert METRICS.timings["q2.execute_s"] > 0
