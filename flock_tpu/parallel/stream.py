@@ -74,52 +74,77 @@ class DistStreamDriver:
     def _merged_bids(self, parts: list[dict]) -> dict:
         return dict(concat_relations(parts, ("bid",)))["bid"]
 
-    def _run_session(self, epoch_parts) -> list[WindowResult]:
-        state = SessionState(gap=self.spec.window[1])
-        emitted = []
-        for t, parts in enumerate(epoch_parts):
-            emitted += state.advance(self._merged_bids(parts), t)
-        emitted += state.flush(self.seconds)
-        if not emitted:
-            return []
-        # one batch of closed sessions, row-sharded round-robin
-        cols: dict[str, list] = {}
-        for sid, (_, frags) in enumerate(emitted):
-            for f in frags:
-                for k, v in f.items():
-                    cols.setdefault(k, []).append(v)
-                cols.setdefault("__session", []).append(
-                    np.full(len(f["bidder"]), sid, np.int32))
-        bid = {k: np.concatenate(v) for k, v in cols.items()}
+    def _exec_session_batch(self, bid: dict, tag: tuple) -> WindowResult:
+        """Row-shard one closed-session batch round-robin and execute SPMD.
+        Capacities are power-of-two bucketed to bound recompiles."""
+        from flock_tpu.runtime.stream import _bucket_cap
+
         n = len(bid["bidder"])
         shard_tables = []
         for i in range(self.n_shards):
             sel = np.arange(n) % self.n_shards == i
             shard_tables.append({"bid": {k: v[sel] for k, v in bid.items()}})
-        host = self.executor.execute_window(shard_tables)
-        return [WindowResult(("sessions",),
-                             materialize_columns(self.spec, host))]
+        caps = {"bid": _bucket_cap(-(-n // self.n_shards))}
+        host = self.executor.execute_window(shard_tables, caps)
+        return WindowResult(tag, materialize_columns(self.spec, host))
+
+    def _run_session(self, epoch_parts) -> list[WindowResult]:
+        """STREAMING session windows (see StreamDriver._run_session): closed
+        sessions execute per epoch; host state is bounded by open sessions."""
+        from flock_tpu.runtime.stream import sessions_to_batch
+
+        state = SessionState(gap=self.spec.window[1])
+        out: list[WindowResult] = []
+        sid = 0
+        t = -1
+        for t, parts in enumerate(epoch_parts):
+            closed = state.advance(self._merged_bids(parts), t)
+            if closed:
+                bid = sessions_to_batch(closed, sid)
+                sid += len(closed)
+                out.append(self._exec_session_batch(bid, ("sessions", t)))
+        closed = state.flush(t + 1)
+        if closed:
+            bid = sessions_to_batch(closed, sid)
+            out.append(self._exec_session_batch(bid, ("sessions", t + 1)))
+        return out
 
     def _run_global(self, epoch_parts) -> list[WindowResult]:
+        """STREAMING processing-time windows: each w-epoch window executes
+        as soon as it completes."""
+        from flock_tpu.runtime.stream import _bucket_cap
+
         w = self.spec.window[1]
         results = []
-        for start in range(0, len(epoch_parts), w):
-            chunk = epoch_parts[start:start + w]
-            shards = [[] for _ in range(self.n_shards)]
-            for i, parts in enumerate(chunk):
-                for p, part in enumerate(parts):
-                    bid = dict(part["bid"])
-                    bid["p_time"] = np.full(len(bid["bidder"]),
-                                            (start + i) * 1000, np.int32)
-                    shards[p % self.n_shards].append(bid)
-            names = ("auction", "bidder", "price", "b_date_time", "p_time")
+        names = ("auction", "bidder", "price", "b_date_time", "p_time")
+
+        def emit(shards, start):
             shard_tables = []
+            m = 1
             for ps in shards:
-                shard_tables.append({"bid": {
-                    k: (np.concatenate([b[k] for b in ps]) if ps
-                        else np.array([], np.int32)) for k in names}})
-            host = self.executor.execute_window(shard_tables)
+                cols = {k: (np.concatenate([b[k] for b in ps]) if ps
+                            else np.array([], np.int32)) for k in names}
+                m = max(m, len(cols["bidder"]))
+                shard_tables.append({"bid": cols})
+            host = self.executor.execute_window(
+                shard_tables, {"bid": _bucket_cap(m)})
             results.append(WindowResult(
                 ("ptime", start, start + w),
                 materialize_columns(self.spec, host)))
+
+        shards = [[] for _ in range(self.n_shards)]
+        start = 0
+        t = -1
+        for t, parts in enumerate(epoch_parts):
+            if t - start >= w:
+                emit(shards, start)
+                shards = [[] for _ in range(self.n_shards)]
+                start = t
+            for p, part in enumerate(parts):
+                bid = dict(part["bid"])
+                bid["p_time"] = np.full(len(bid["bidder"]), t * 1000,
+                                        np.int32)
+                shards[p % self.n_shards].append(bid)
+        if any(shards):
+            emit(shards, start)
         return results

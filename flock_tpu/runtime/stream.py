@@ -83,6 +83,29 @@ def generate_epochs(seconds: int, events_per_second: int, generators: int = 1
     return epochs
 
 
+def sessions_to_batch(closed, sid0: int) -> dict:
+    """Closed sessions → one bid table with globally unique __session ids
+    (the reference ships whole sessions to an aggregator the same way, one
+    window per session key, session.rs:245-263)."""
+    cols = defaultdict(list)
+    for off, (_, frags) in enumerate(closed):
+        for f in frags:
+            for k, v in f.items():
+                cols[k].append(v)
+            cols["__session"].append(
+                np.full(len(f["bidder"]), sid0 + off, np.int32))
+    return {k: np.concatenate(v) for k, v in cols.items()}
+
+
+def _bucket_cap(n: int) -> int:
+    """Power-of-two capacity bucket: per-epoch batches reuse a handful of
+    compiled programs instead of one compile per distinct row count."""
+    c = 128
+    while c < n:
+        c *= 2
+    return c
+
+
 @dataclass
 class WindowResult:
     tag: tuple          # window identifier, e.g. ("epoch", 3) / ("win", 0, 10)
@@ -269,46 +292,87 @@ class StreamDriver:
             out.append(WindowResult(tag, self.executor.materialize(b)))
         return out
 
+    def _execute_retry(self, tag, tables, caps) -> WindowResult:
+        """One window with the overflow guard-and-retry posture of
+        ``_execute_all`` (capacity-bucketed so recompiles stay bounded)."""
+        from flock_tpu.runtime.executor import OverflowError
+
+        for attempt in range(6):
+            try:
+                b = self.executor.execute_window(tables, caps)
+                break
+            except OverflowError:
+                if attempt == 5:
+                    raise
+                from flock_tpu.config import CONFIG
+                base = self.executor.agg_capacity or (
+                    max(caps.values()) + CONFIG.agg_span_margin)
+                self.executor.agg_capacity = base * 4
+        return WindowResult(tag, self.executor.materialize(b))
+
     # -- session windows (q11) ------------------------------------------------
 
     def _run_session(self, epochs) -> list[WindowResult]:
+        """STREAMING session windows: sessions closed by gap/timeout are
+        executed and emitted per epoch (the reference's per-epoch session
+        drain, flock-function/src/aws/window/session.rs:136-178).  Host
+        state is bounded by the OPEN sessions; nothing accumulates for the
+        run's whole length.  Remaining sessions flush at stream end."""
         state = SessionState(gap=self.spec.window[1])
-        emitted: list[tuple[tuple, list[dict]]] = []
+        out: list[WindowResult] = []
+        sid = 0
+        t = -1
         for t, tables in enumerate(epochs):
-            emitted += state.advance(tables["bid"], t)
-        emitted += state.flush(self.seconds)
-
-        # Feed all closed sessions as one device batch with __session ids.
-        windows = []
-        if emitted:
-            cols = defaultdict(list)
-            for sid, (_, frags) in enumerate(emitted):
-                for f in frags:
-                    for k, v in f.items():
-                        cols[k].append(v)
-                    cols["__session"].append(
-                        np.full(len(f["bidder"]), sid, np.int32))
-            bid = {k: np.concatenate(v) for k, v in cols.items()}
-            windows.append((("sessions",), {"bid": bid}))
-        return self._execute_all(windows)
+            closed = state.advance(tables["bid"], t)
+            if closed:
+                bid = sessions_to_batch(closed, sid)
+                sid += len(closed)
+                caps = {"bid": _bucket_cap(len(bid["bidder"]))}
+                out.append(self._execute_retry(
+                    ("sessions", t), {"bid": bid}, caps))
+        closed = state.flush(t + 1)
+        if closed:
+            bid = sessions_to_batch(closed, sid)
+            caps = {"bid": _bucket_cap(len(bid["bidder"]))}
+            out.append(self._execute_retry(
+                ("sessions", t + 1), {"bid": bid}, caps))
+        return out
 
     # -- processing-time windows (q12) ---------------------------------------
 
     def _run_global(self, epochs) -> list[WindowResult]:
+        """STREAMING processing-time windows: each w-epoch arrival window
+        executes as soon as it completes; only the current window's epochs
+        are held on host (global.rs:161-307)."""
         w = self.spec.window[1]
-        windows = []
-        for start in range(0, len(epochs), w):
-            chunk = epochs[start:start + w]
-            parts = []
-            for i, tables in enumerate(chunk):
-                bid = dict(tables["bid"])
-                bid["p_time"] = np.full(len(bid["bidder"]),
-                                        (start + i) * 1000, np.int32)
-                parts.append({"bid": bid})
-            cols = {k: np.concatenate([p["bid"][k] for p in parts])
-                    for k in parts[0]["bid"]} if parts else {}
-            windows.append((("ptime", start, start + w), {"bid": cols}))
-        return self._execute_all(windows)
+        out: list[WindowResult] = []
+        pending: list[dict] = []
+        start = 0
+
+        def emit(start: int) -> WindowResult | None:
+            if not pending:
+                return None
+            cols = {k: np.concatenate([p[k] for p in pending])
+                    for k in pending[0]}
+            pending.clear()
+            caps = {"bid": _bucket_cap(len(cols["bidder"]))}
+            return self._execute_retry(
+                ("ptime", start, start + w), {"bid": cols}, caps)
+
+        t = -1
+        for t, tables in enumerate(epochs):
+            if t - start >= w:
+                r = emit(start)
+                if r is not None:
+                    out.append(r)
+                start = t
+            bid = dict(tables["bid"])
+            bid["p_time"] = np.full(len(bid["bidder"]), t * 1000, np.int32)
+            pending.append(bid)
+        r = emit(start)
+        if r is not None:
+            out.append(r)
+        return out
 
 
 def run_nexmark(query: int, seconds: int = 2, events_per_second: int = 1000,

@@ -124,6 +124,19 @@ def test_q11_sessions(epochs):
         expected, ["bidder", "bid_count", "start_time", "end_time"])
 
 
+def test_q11_incremental_emission(epochs):
+    """Sessions closed by gap/timeout are executed and emitted PER EPOCH
+    (bounded host state, the reference's per-epoch session drain,
+    session.rs:136-178) — not buffered until stream end."""
+    spec, results = run_engine(11, epochs)
+    tags = [r.tag for r in results]
+    assert all(t[0] == "sessions" for t in tags)
+    assert tags == sorted(tags), "results emitted in epoch order"
+    # the 10s gap forces timeouts before stream end at this event rate
+    assert len(tags) > 1 and tags[0][1] < SECONDS, \
+        "mid-stream emission expected (got only a flush batch)"
+
+
 def test_q12_ptime(epochs):
     spec, results = run_engine(12, epochs)
     assert len(results) == 2  # arrival windows [0,10) and [10,12)
