@@ -19,6 +19,12 @@ AXIS = "shards"
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(
+            f"mesh needs {n} devices but the backend exposes {len(devs)} "
+            f"({devs[0].platform}); for CPU tests set JAX_PLATFORMS=cpu and "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} before "
+            "importing jax (see tests/conftest.py)")
     return Mesh(np.array(devs[:n]), (AXIS,))
 
 

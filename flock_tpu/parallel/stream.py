@@ -61,8 +61,14 @@ class DistStreamDriver:
             return self._run_session(epoch_parts)
         if kind == "global":
             return self._run_global(epoch_parts)
+        if kind == "rows":
+            return self._run_rows(epoch_parts)
+        rels = tuple(r for r in self.spec.relations if r != "side_input")
+        occupancy = [any(len(next(iter(p[r].values())))
+                         for p in parts for r in rels if r in p and p[r])
+                     for parts in epoch_parts]
         results = []
-        for tag, rng in self._slicer._window_epoch_ranges():
+        for tag, rng in self._slicer._window_epoch_ranges(occupancy):
             window_parts = [epoch_parts[t] for t in rng
                             if t < len(epoch_parts)]
             host = self.executor.execute_window(
@@ -71,22 +77,61 @@ class DistStreamDriver:
                 tag, materialize_columns(self.spec, host)))
         return results
 
+    def _run_rows(self, epoch_parts) -> list[WindowResult]:
+        """Row-count windows (Schedule::Rows): merged stream order is cut
+        every n rows; each window row-shards across the mesh."""
+        n = self.spec.window[1]
+        (rel,) = tuple(r for r in self.spec.relations if r != "side_input")
+        results: list[WindowResult] = []
+        pending: list[dict] = []
+        have = 0
+        widx = 0
+
+        def emit(cols: dict) -> None:
+            nonlocal widx
+            results.append(self._exec_row_sharded(
+                rel, cols, ("rows", widx)))
+            widx += 1
+
+        for parts in epoch_parts:
+            merged = dict(concat_relations(parts, (rel,)))[rel]
+            cnt = len(next(iter(merged.values()))) if merged else 0
+            if not cnt:
+                continue
+            pending.append(merged)
+            have += cnt
+            while have >= n:
+                joined = {k: np.concatenate([p[k] for p in pending])
+                          for k in pending[0]}
+                emit({k: v[:n] for k, v in joined.items()})
+                rest = {k: v[n:] for k, v in joined.items()}
+                have -= n
+                pending = [rest] if have else []
+        if have:
+            emit({k: np.concatenate([p[k] for p in pending])
+                  for k in pending[0]})
+        return results
+
     def _merged_bids(self, parts: list[dict]) -> dict:
         return dict(concat_relations(parts, ("bid",)))["bid"]
 
-    def _exec_session_batch(self, bid: dict, tag: tuple) -> WindowResult:
-        """Row-shard one closed-session batch round-robin and execute SPMD.
-        Capacities are power-of-two bucketed to bound recompiles."""
+    def _exec_row_sharded(self, rel: str, cols: dict, tag: tuple
+                          ) -> WindowResult:
+        """Row-shard one batch round-robin and execute SPMD.  Capacities are
+        power-of-two bucketed to bound recompiles."""
         from flock_tpu.runtime.stream import _bucket_cap
 
-        n = len(bid["bidder"])
+        n = len(next(iter(cols.values())))
         shard_tables = []
         for i in range(self.n_shards):
             sel = np.arange(n) % self.n_shards == i
-            shard_tables.append({"bid": {k: v[sel] for k, v in bid.items()}})
-        caps = {"bid": _bucket_cap(-(-n // self.n_shards))}
+            shard_tables.append({rel: {k: v[sel] for k, v in cols.items()}})
+        caps = {rel: _bucket_cap(-(-n // self.n_shards))}
         host = self.executor.execute_window(shard_tables, caps)
         return WindowResult(tag, materialize_columns(self.spec, host))
+
+    def _exec_session_batch(self, bid: dict, tag: tuple) -> WindowResult:
+        return self._exec_row_sharded("bid", bid, tag)
 
     def _run_session(self, epoch_parts) -> list[WindowResult]:
         """STREAMING session windows (see StreamDriver._run_session): closed

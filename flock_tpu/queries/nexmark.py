@@ -43,7 +43,8 @@ class QuerySpec:
     number: int
     plan: Node
     window: tuple  # ("elementwise",) | ("tumbling", s) | ("hopping", w, h) |
-    #               ("session", gap) | ("global", s)
+    #               ("sliding", w, slide) | ("stagger", w) | ("rows", n) |
+    #               ("session", gap) | ("global", s)   — see flock_tpu/window.py
     relations: tuple[str, ...]
     schema: Schema  # output schema (column order + dictionaries + ts cols)
 

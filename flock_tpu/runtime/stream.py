@@ -206,7 +206,12 @@ class StreamDriver:
 
     # -- window slicing -------------------------------------------------------
 
-    def _window_epoch_ranges(self):
+    def _window_epoch_ranges(self, occupancy: list[bool] | None = None):
+        """Window tag → epoch list, for the range-based kinds.
+
+        ``occupancy`` (per-epoch has-data flags) is required only for stagger
+        windows, whose anchors are data-dependent (window.rs:104-110 — a
+        window opens at the first event after the previous one closes)."""
         kind = self.spec.window[0]
         s = self.seconds
         if kind == "elementwise":
@@ -219,9 +224,33 @@ class StreamDriver:
             w, h = self.spec.window[1], self.spec.window[2]
             return [(("win", t, t + w), list(range(t, t + w)))
                     for t in range(0, s, h) if t + w <= s]
+        if kind == "sliding":
+            # window.rs:94-97: emit at every slide point, covering the
+            # trailing w seconds (leading windows are partial)
+            w, sl = self.spec.window[1], self.spec.window[2]
+            return [(("win", max(0, t - w), t), list(range(max(0, t - w), t)))
+                    for t in range(sl, s + 1, sl)]
+        if kind == "stagger":
+            # window.rs:104-110: first-event-anchored w-second windows
+            w = self.spec.window[1]
+            if occupancy is None:
+                raise ValueError("stagger windows need per-epoch occupancy")
+            out, t = [], 0
+            while t < s:
+                if occupancy[t]:
+                    out.append((("win", t, t + w), list(range(t, min(t + w, s)))))
+                    t += w
+                else:
+                    t += 1
+            return out
         raise ValueError(kind)
 
     # -- execution ------------------------------------------------------------
+
+    @staticmethod
+    def _epoch_rows(tables: dict) -> int:
+        return sum(len(next(iter(cols.values()))) for cols in tables.values()
+                   if cols)
 
     def run(self, epochs: list[dict]) -> list[WindowResult]:
         kind = self.spec.window[0]
@@ -229,6 +258,8 @@ class StreamDriver:
             return self._run_session(epochs)
         if kind == "global":
             return self._run_global(epochs)
+        if kind == "rows":
+            return self._run_rows(epochs)
         return self._run_ranges(epochs)
 
     def _fixed_caps(self, windows, relations) -> dict[str, int]:
@@ -285,8 +316,10 @@ class StreamDriver:
         if "side_input" in self.spec.relations:
             si = self.side_input or default_side_input()
             statics = self.executor.prepare_window({"side_input": si})
+        occupancy = [self._epoch_rows({r: e.get(r, {}) for r in rels}) > 0
+                     for e in epochs]
         out = []
-        for tag, rng in self._window_epoch_ranges():
+        for tag, rng in self._window_epoch_ranges(occupancy):
             ets = [staged[t] for t in rng if t < len(staged)]
             b = self.executor.execute_epochs(ets, statics)
             out.append(WindowResult(tag, self.executor.materialize(b)))
@@ -372,6 +405,47 @@ class StreamDriver:
         r = emit(start)
         if r is not None:
             out.append(r)
+        return out
+
+    # -- row-count windows (Schedule::Rows, window.rs:75-77) -------------------
+
+    def _run_rows(self, epochs) -> list[WindowResult]:
+        """Row-count windows: the driving relation's rows pack into
+        consecutive windows of exactly n rows; the remainder flushes at
+        stream end.  Host state is bounded by one window's rows."""
+        n = self.spec.window[1]
+        rels = tuple(r for r in self.spec.relations if r != "side_input")
+        if len(rels) != 1:
+            raise NotImplementedError(
+                "rows windows need a single driving relation")
+        rel = rels[0]
+        out: list[WindowResult] = []
+        pending: list[dict] = []
+        have = 0
+        widx = 0
+
+        def emit(cols: dict) -> None:
+            nonlocal widx
+            caps = {rel: _bucket_cap(len(next(iter(cols.values()))))}
+            out.append(self._execute_retry(("rows", widx), {rel: cols}, caps))
+            widx += 1
+
+        for tables in epochs:
+            cols = tables.get(rel)
+            if not cols or not len(next(iter(cols.values()))):
+                continue
+            pending.append(dict(cols))
+            have += len(next(iter(cols.values())))
+            while have >= n:
+                joined = {k: np.concatenate([p[k] for p in pending])
+                          for k in pending[0]}
+                emit({k: v[:n] for k, v in joined.items()})
+                rest = {k: v[n:] for k, v in joined.items()}
+                have -= n
+                pending = [rest] if have else []
+        if have:
+            emit({k: np.concatenate([p[k] for p in pending])
+                  for k in pending[0]})
         return out
 
 
