@@ -197,13 +197,24 @@ def dense_group_aggregate(
 
     s_loc = min(s_loc or AGG_S_LOC, out_capacity)
     n = valid.shape[0]
-    pad = (-n) % AGG_BLOCK
-    k = jnp.pad(cols[key], (0, pad))
-    v = jnp.pad(valid, (0, pad))
-    ac = {c: jnp.pad(a, (0, pad)) for c, a in agg_cols.items()}
-    b_out, b_valid, escape = blocked.blocked_local_agg(
-        k, v, ac, list(aggs), out_capacity,
-        block=min(AGG_BLOCK, k.shape[0]), s_loc=s_loc)
+    from flock_tpu.pallas import agg as pallas_agg
+    from flock_tpu.pallas import join_agg as _pj
+
+    if _pj.enabled() and pallas_agg.local_eligible(list(aggs), n, s_loc):
+        # Pallas path: span accumulators live in VMEM across the grid
+        # instead of round-tripping HBM per block; integer sums use 8-bit
+        # limb accumulators (pallas/agg.py)
+        b_out, b_valid, escape = pallas_agg.pallas_local_agg(
+            cols[key], valid, agg_cols, list(aggs), out_capacity,
+            s_loc=s_loc)
+    else:
+        pad = (-n) % AGG_BLOCK
+        k = jnp.pad(cols[key], (0, pad))
+        v = jnp.pad(valid, (0, pad))
+        ac = {c: jnp.pad(a, (0, pad)) for c, a in agg_cols.items()}
+        b_out, b_valid, escape = blocked.blocked_local_agg(
+            k, v, ac, list(aggs), out_capacity,
+            block=min(AGG_BLOCK, k.shape[0]), s_loc=s_loc)
     b_out[key] = b_out.pop("__key")
 
     import os

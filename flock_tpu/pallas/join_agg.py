@@ -17,9 +17,12 @@ Same contract as the XLA version: ``replay`` re-executes the plan nodes
 between Join and Aggregate on a broadcast column dict (probe cols [B, 1],
 build slot-window cols [1, s_loc]) — arbitrary jnp filter/project lambdas
 trace into the kernel unchanged.  Escapes (in-span keys outside their block's
-window) raise a flag; callers fall back.  int32 columns, count/min/max
-aggregations (integer sums need int64 accumulators — those stay on the XLA
-path).
+window) raise a flag; callers fall back.  int32 columns;
+count/min/max/sum/count_sum aggregations — integer sums accumulate as four
+8-bit-limb int32 VMEM accumulators (block partials ride MXU f32 dots,
+≤ block·255 < 2²⁴ exact) combined to int64 after the kernel.  Aggregations
+whose accumulator itself must be int64 (q6's packed order key) stay on the
+XLA fused path.
 
 Reference counterpart: the DataFusion HashJoin+HashAggregate pipeline Flock
 executes per stage (flock/src/runtime/context.rs:172-216); here the join
@@ -42,25 +45,38 @@ I32_MIN = np.int32(-(2**31))
 _SENTINEL = {"min": I32_MAX, "max": I32_MIN}
 
 
+def _acc_width(fn: str) -> int:
+    """Span accumulators per agg: integer sums hold four 8-bit-limb int32
+    accumulators (combined to int64/int32 outside the kernel); everything
+    else holds one."""
+    return 4 if fn in ("sum", "count_sum") else 1
+
+
 def _kernel(m_ref, *refs, probe_names, slot_names, replay, aggs,
             block, s_loc, span):
-    np_, ns, na = len(probe_names), len(slot_names), len(aggs)
+    np_, ns = len(probe_names), len(slot_names)
+    widths = [_acc_width(fn) for _, fn, _ in aggs]
+    nacc = sum(widths)
     probe_refs = dict(zip(probe_names, refs[:np_]))
     valid_ref = refs[np_]
     slot_refs = dict(zip(slot_names, refs[np_ + 1:np_ + 1 + ns]))
     present_ref = refs[np_ + 1 + ns]
-    out_refs = refs[np_ + 2 + ns:np_ + 2 + ns + na]
-    cnt_out, esc_out = refs[np_ + 2 + ns + na:np_ + 4 + ns + na]
-    accs = refs[np_ + 4 + ns + na:np_ + 4 + ns + 2 * na]
-    acc_cnt, esc_acc = refs[np_ + 4 + ns + 2 * na:]
+    out_refs = refs[np_ + 2 + ns:np_ + 2 + ns + nacc]
+    cnt_out, esc_out = refs[np_ + 2 + ns + nacc:np_ + 4 + ns + nacc]
+    accs = refs[np_ + 4 + ns + nacc:np_ + 4 + ns + 2 * nacc]
+    acc_cnt, esc_acc = refs[np_ + 4 + ns + 2 * nacc:]
 
     i = pl.program_id(0)
     n_i = pl.num_programs(0)
 
     @pl.when(i == 0)
     def _():
-        for (_, fn, _o), acc in zip(aggs, accs):
-            acc[:] = jnp.full((span,), _SENTINEL.get(fn, 0), jnp.int32)
+        off = 0
+        for (_, fn, _o), w in zip(aggs, widths):
+            for j in range(w):
+                accs[off + j][:] = jnp.full(
+                    (span,), _SENTINEL.get(fn, 0), jnp.int32)
+            off += w
         acc_cnt[:] = jnp.zeros((span,), jnp.int32)
         esc_acc[0] = jnp.int32(0)
 
@@ -102,6 +118,7 @@ def _kernel(m_ref, *refs, probe_names, slot_names, replay, aggs,
         bcast[k] = window(r)[None, :]
     bcast, pair = replay(bcast, pair)
 
+    pair_f = pair.astype(jnp.float32)
     cnt_w = jnp.sum(pair.astype(jnp.int32), axis=0)
 
     def acc_update(acc, upd, merge):
@@ -110,15 +127,40 @@ def _kernel(m_ref, *refs, probe_names, slot_names, replay, aggs,
                                          upd[s_loc:])
 
     acc_update(acc_cnt, cnt_w, jnp.add)
-    for (in_col, fn, _out), acc in zip(aggs, accs):
+    off = 0
+    for (in_col, fn, _out), w in zip(aggs, widths):
         if fn == "count":
-            acc_update(acc, cnt_w, jnp.add)
-            continue
-        v = jnp.broadcast_to(bcast[in_col], (block, w2))
-        v = jnp.where(pair, v, _SENTINEL[fn])
-        red = jnp.min if fn == "min" else jnp.max
-        mrg = jnp.minimum if fn == "min" else jnp.maximum
-        acc_update(acc, red(v, axis=0), mrg)
+            acc_update(accs[off], cnt_w, jnp.add)
+        elif fn in ("sum", "count_sum"):
+            # exact integer sum: per-limb f32 partials (≤ block·255 < 2²⁴)
+            # accumulated into int32 limb accumulators
+            src = bcast[in_col]
+            if src.shape == (block, 1):
+                # probe-side column: one (4, block) × (block, w2) MXU matmul
+                # contracts all four limbs against the pair mask (Mosaic
+                # needs 2-D operands — a 1-D lhs does not lower)
+                limbs = jnp.stack(
+                    [((src[:, 0] >> (8 * j)) & 0xFF).astype(jnp.float32)
+                     for j in range(4)])
+                parts = jnp.dot(limbs, pair_f,
+                                preferred_element_type=jnp.float32)
+                for j in range(4):
+                    acc_update(accs[off + j], parts[j].astype(jnp.int32),
+                               jnp.add)
+            else:
+                for j in range(4):
+                    limb2d = ((jnp.broadcast_to(src, (block, w2))
+                               >> (8 * j)) & 0xFF).astype(jnp.float32)
+                    part = jnp.sum(limb2d * pair_f, axis=0)
+                    acc_update(accs[off + j], part.astype(jnp.int32),
+                               jnp.add)
+        else:
+            v = jnp.broadcast_to(bcast[in_col], (block, w2))
+            v = jnp.where(pair, v, _SENTINEL[fn])
+            red = jnp.min if fn == "min" else jnp.max
+            mrg = jnp.minimum if fn == "min" else jnp.maximum
+            acc_update(accs[off], red(v, axis=0), mrg)
+        off += w
 
     @pl.when(i == n_i - 1)
     def _():
@@ -130,8 +172,9 @@ def _kernel(m_ref, *refs, probe_names, slot_names, replay, aggs,
 
 def supported(probe_cols, slot_cols, aggs) -> bool:
     """Static eligibility for the Pallas path: int32 columns only,
-    count/min/max aggregations (sums need int64 accumulation)."""
-    if not all(fn in ("count", "min", "max") for _, fn, _ in aggs):
+    count/min/max/sum/count_sum aggregations."""
+    if not all(fn in ("count", "min", "max", "sum", "count_sum")
+               for _, fn, _ in aggs):
         return False
     cols = list(probe_cols.values()) + list(slot_cols.values())
     return all(c.dtype == jnp.int32 for c in cols)
@@ -148,22 +191,37 @@ def enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+MAX_SUM_ROWS = (2**31 - 1) // 255  # int32 limb-accumulator bound
+
+
 def eligible(slot_cols, probe_cols, replay, aggs) -> bool:
-    """Static eligibility for ``fused_join_aggregate_rebased``: count/min/max
-    aggregations whose accumulators are int32 (checked by replaying the plan
-    segment on abstract inputs), over int32/int64 columns.
+    """Static eligibility for ``fused_join_aggregate_rebased``:
+    count/min/max/sum/count_sum aggregations whose aggregated values are
+    int32 (checked by replaying the plan segment on abstract inputs), over
+    int32/int64 columns.
 
     int64 columns are rebased to window-relative int32 offsets before the
     kernel, which preserves comparisons and differences — the only uses the
     engine's plan segments make of timestamps (interval predicates like
     q4/q9's ``b_date_time BETWEEN a_date_time AND expires``).  Aggregated
     values must already be int32 on the *original* dtypes, so no rebased
-    quantity is ever aggregated.
+    quantity is ever aggregated.  Integer sums accumulate in four 8-bit-limb
+    int32 accumulators — exact while rows·255 < 2³¹ (≤ 8.4M probe rows per
+    window, checked statically) and values are non-negative (prices/counts;
+    the XLA limb path shares this contract, ops/blocked._limbs8).
+
+    Aggregations whose accumulators must be int64 (e.g. q6's packed
+    price<<32|time order key) stay on the XLA fused path by design.
     """
-    if not all(fn in ("count", "min", "max") for _, fn, _ in aggs):
+    if not all(fn in ("count", "min", "max", "sum", "count_sum")
+               for _, fn, _ in aggs):
         return False
     cols = list(slot_cols.values()) + list(probe_cols.values())
     if not all(c.dtype in (jnp.int32, jnp.int64) for c in cols):
+        return False
+    n = next(iter(probe_cols.values())).shape[0]
+    if any(fn in ("sum", "count_sum") for _, fn, _ in aggs) \
+            and n > MAX_SUM_ROWS:
         return False
     from flock_tpu.ops import blocked
 
@@ -235,7 +293,8 @@ def fused_join_aggregate(
     s_loc: int = 1024,
     interpret: bool = False,
 ):
-    """Drop-in for ops/blocked.blocked_join_aggregate (count/min/max subset).
+    """Drop-in for ops/blocked.blocked_join_aggregate
+    (count/min/max/sum/count_sum over int32 values).
 
     Returns (out_cols with __key, out_valid, escape) — slot i holds key m+i.
     """
@@ -265,7 +324,8 @@ def fused_join_aggregate(
 
     blockspec = pl.BlockSpec((block,), lambda i, *_: (i,))
     spanspec = pl.BlockSpec((span,), lambda i, *_: (0,))
-    na = len(aggs)
+    widths = [_acc_width(fn) for _, fn, _ in aggs]
+    nacc = sum(widths)
     # trace under 32-bit semantics: the engine runs with jax_enable_x64 (for
     # exact integer sums at sinks), but weak-int64 scalars from index maps /
     # literals hit an infinite _convert_helper recursion in Mosaic (int64
@@ -278,19 +338,32 @@ def fused_join_aggregate(
                 grid=grid,
                 in_specs=([blockspec] * (len(probe_names) + 1)
                           + [spanspec] * (len(slot_names) + 1)),
-                out_specs=([spanspec] * (na + 1)
+                out_specs=([spanspec] * (nacc + 1)
                            + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
-                scratch_shapes=([pltpu.VMEM((span,), jnp.int32)] * (na + 1)
+                scratch_shapes=([pltpu.VMEM((span,), jnp.int32)] * (nacc + 1)
                                 + [pltpu.SMEM((1,), jnp.int32)]),
             ),
-            out_shape=([jax.ShapeDtypeStruct((span,), jnp.int32)] * (na + 1)
+            out_shape=([jax.ShapeDtypeStruct((span,), jnp.int32)] * (nacc + 1)
                        + [jax.ShapeDtypeStruct((1,), jnp.int32)]),
             interpret=interpret,
         )(m.reshape(1).astype(jnp.int32),
           *[pcols[k] for k in probe_names], pvalid,
           *[slot_cols[k] for k in slot_names], present.astype(jnp.int32))
 
-    out_cols = {out: arr[:span0] for (_, _, out), arr in zip(aggs, outs[:na])}
-    cnt, esc = outs[na][:span0], outs[na + 1]
+    # combine limb accumulators (outside the 32-bit kernel context)
+    out_cols = {}
+    idx = 0
+    for (in_col, fn, out), w in zip(aggs, widths):
+        arrs = outs[idx:idx + w]
+        idx += w
+        if w == 1:
+            out_cols[out] = arrs[0][:span0]
+        else:
+            dt = jnp.int64 if fn == "sum" else jnp.int32
+            comb = arrs[0].astype(dt)
+            for j in range(1, 4):
+                comb = comb + (arrs[j].astype(dt) << (8 * j))
+            out_cols[out] = comb[:span0]
+    cnt, esc = outs[nacc][:span0], outs[nacc + 1]
     out_cols["__key"] = m + jnp.arange(span0, dtype=jnp.int32)
     return out_cols, cnt > 0, esc[0] > 0

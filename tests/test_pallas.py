@@ -166,3 +166,142 @@ def test_q4_pallas_path_matches_default(monkeypatch):
     for c in out_ref.columns:
         np.testing.assert_array_equal(np.asarray(out_ref.columns[c])[vr],
                                       np.asarray(out_p.columns[c])[vp])
+
+
+def test_pallas_local_agg_matches_blocked_all_fns():
+    """General VMEM-resident aggregation (count/sum/min/max/count_sum) ≡ the
+    XLA blocked path, including exact limb-based integer sums."""
+    from flock_tpu.ops import blocked
+    from flock_tpu.pallas.agg import local_eligible, pallas_local_agg
+
+    rng = np.random.default_rng(11)
+    span, n = 6000, 8192
+    keys = np.clip(np.arange(n) // 2 + rng.integers(-100, 100, n),
+                   0, span - 1).astype(np.int32) + 500
+    valid = rng.random(n) < 0.9
+    vals = rng.integers(0, 2**31 - 1, n).astype(np.int32)
+    aggs = [(None, "count", "c"), ("v", "sum", "s"), ("v", "min", "lo"),
+            ("v", "max", "hi"), ("v", "count_sum", "cs")]
+    assert local_eligible(aggs, n)
+
+    o1, v1, e1 = blocked.blocked_local_agg(
+        jnp.asarray(keys), jnp.asarray(valid), {"v": jnp.asarray(vals)},
+        aggs, span, block=1024, s_loc=1024)
+    o2, v2, e2 = pallas_local_agg(
+        jnp.asarray(keys), jnp.asarray(valid), {"v": jnp.asarray(vals)},
+        aggs, span, block=1024, s_loc=1024, interpret=True)
+    assert not bool(e1) and not bool(e2)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    m1 = np.asarray(v1)
+    for c in ("c", "s", "lo", "hi", "cs", "__key"):
+        np.testing.assert_array_equal(np.asarray(o1[c])[m1],
+                                      np.asarray(o2[c])[m1], err_msg=c)
+    # exact int64 sum vs numpy oracle
+    exp = np.zeros(span, np.int64)
+    np.add.at(exp, keys[valid] - keys[valid].min(), vals[valid].astype(np.int64))
+    np.testing.assert_array_equal(np.asarray(o2["s"])[m1], exp[m1])
+
+
+def test_pallas_local_agg_unaligned_s_loc_and_capacity():
+    """s_loc hints that aren't VMEM-tile multiples (e.g. S_LOC_DENSE_IDS=4608)
+    round up internally; odd capacities pad and slice back."""
+    from flock_tpu.pallas.agg import pallas_local_agg
+
+    rng = np.random.default_rng(12)
+    span, n = 9000, 4096
+    keys = np.clip(np.arange(n) + rng.integers(-2000, 2000, n),
+                   0, span - 1).astype(np.int32)
+    valid = np.ones(n, bool)
+    vals = rng.integers(0, 10**6, n).astype(np.int32)
+    out, ovalid, esc = pallas_local_agg(
+        jnp.asarray(keys), jnp.asarray(valid), {"v": jnp.asarray(vals)},
+        [("v", "sum", "s"), (None, "count", "c")], span,
+        block=1024, s_loc=4608, interpret=True)
+    assert not bool(esc)
+    exp_c = np.bincount(keys, minlength=span)
+    exp_s = np.zeros(span, np.int64)
+    np.add.at(exp_s, keys, vals.astype(np.int64))
+    np.testing.assert_array_equal(np.asarray(out["c"]), exp_c)
+    np.testing.assert_array_equal(np.asarray(out["s"]), exp_s)
+    np.testing.assert_array_equal(np.asarray(ovalid), exp_c > 0)
+
+
+def test_pallas_fused_sum_matches_xla():
+    """Fused join+aggregate with integer sums (limb accumulators) ≡ XLA."""
+    from flock_tpu.ops import blocked
+    from flock_tpu.pallas import join_agg
+
+    rng = np.random.default_rng(13)
+    span, n = 4000, 8192
+    present = rng.random(span) < 0.8
+    weight = rng.integers(1, 1000, span).astype(np.int32)
+    m = np.int32(777)
+    key = (m + np.clip(np.arange(n) // 2 + rng.integers(-64, 64, n),
+                       0, span - 1)).astype(np.int32)
+    price = rng.integers(0, 10**8, n).astype(np.int32)
+    pv = rng.random(n) < 0.9
+
+    def replay(bc, pair):
+        return bc, pair & (bc["price"] % 3 != 0)
+
+    aggs = [("price", "sum", "total"), (None, "count", "cnt"),
+            ("price", "max", "top")]
+    slots = {"weight": jnp.asarray(weight)}
+    pcols = {"k": jnp.asarray(key), "price": jnp.asarray(price)}
+    assert join_agg.supported(pcols, slots, aggs)
+    assert join_agg.eligible(slots, pcols, replay, aggs)
+
+    o1, v1, e1 = blocked.blocked_join_aggregate(
+        slots, jnp.asarray(present), jnp.asarray(m), pcols, jnp.asarray(pv),
+        "k", replay, aggs, span, block=1024, s_loc=1024, margin=128)
+    o2, v2, e2 = join_agg.fused_join_aggregate(
+        slots, jnp.asarray(present), jnp.asarray(m), pcols, jnp.asarray(pv),
+        "k", replay, aggs, block=1024, s_loc=1024, interpret=True)
+    assert not bool(e1) and not bool(e2)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    mk = np.asarray(v1)
+    assert o2["total"].dtype == jnp.int64
+    for c in ("total", "cnt", "top", "__key"):
+        np.testing.assert_array_equal(np.asarray(o1[c])[mk],
+                                      np.asarray(o2[c])[mk], err_msg=c)
+
+
+def test_dense_group_aggregate_dispatches_to_pallas(monkeypatch):
+    """kernels.dense_group_aggregate routes blocked-span aggregations to the
+    Pallas kernel when enabled, with identical results."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flock_tpu.ops import kernels
+    from flock_tpu.pallas import agg as pallas_agg
+
+    rng = np.random.default_rng(14)
+    span, n = 8192, 8192
+    keys = np.clip(np.arange(n) + rng.integers(-300, 300, n),
+                   0, span - 1).astype(np.int32)
+    valid = rng.random(n) < 0.95
+    vals = rng.integers(0, 10**6, n).astype(np.int32)
+    cols = {"k": jnp.asarray(keys), "v": jnp.asarray(vals)}
+    aggs = [("v", "sum", "s"), (None, "count", "c")]
+
+    out_ref, valid_ref, ovf_ref = kernels.dense_group_aggregate(
+        cols, jnp.asarray(valid), "k", aggs, span, s_loc=1024)
+
+    called = []
+    orig = pallas_agg.pallas_local_agg
+
+    def spy(*a, **kw):
+        called.append(True)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pallas_agg, "pallas_local_agg", spy)
+    monkeypatch.setenv("FLOCK_TPU_PALLAS", "1")
+    with pltpu.force_tpu_interpret_mode():
+        out_p, valid_p, ovf_p = kernels.dense_group_aggregate(
+            cols, jnp.asarray(valid), "k", aggs, span, s_loc=1024)
+    assert called, "pallas_local_agg was not dispatched"
+    assert not bool(ovf_ref) and not bool(ovf_p)
+    mr = np.asarray(valid_ref)
+    np.testing.assert_array_equal(mr, np.asarray(valid_p))
+    for c in ("s", "c", "k"):
+        np.testing.assert_array_equal(np.asarray(out_ref[c])[mr],
+                                      np.asarray(out_p[c])[mr], err_msg=c)
