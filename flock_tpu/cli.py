@@ -14,6 +14,7 @@ Outputs per-window row counts and (with --show) decoded result rows.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -89,6 +90,66 @@ def cmd_ysb(args) -> int:
     for r in results:
         _print_window(r.tag, r.columns, spec.schema, args.show)
     print(f"ysb: {len(results)} windows; elapsed {time.perf_counter()-t0:.2f}s")
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    """Run a query over an EXTERNAL fragment stream (the kafka-trigger
+    ingestion analogue, datasource/kafka.rs): fragments arrive as line JSON
+    over a TCP socket or an append-only file, reassemble through the arena,
+    and the windowed driver executes epochs as they complete."""
+    from flock_tpu.datagen.ingest import (FileTailSource, IngestDriver,
+                                          SocketIngestServer)
+    from flock_tpu.queries.nexmark import get_query
+
+    if (args.file is None) == (args.listen is None):
+        print("error: pass exactly one of --file or --listen",
+              file=sys.stderr)
+        return 2
+    spec = get_query(args.query)
+    t0 = time.perf_counter()
+    if args.listen is not None:
+        srv = SocketIngestServer(port=args.listen)
+        host, port = srv.address
+        print(f"listening on {host}:{port} for {args.lines} fragments",
+              flush=True)
+        lines = srv.lines(args.lines, timeout_s=args.timeout)
+    else:
+        lines = FileTailSource(args.file, n_lines=args.lines,
+                               timeout_s=args.timeout)
+    results = IngestDriver(spec, args.seconds, f"q{args.query}").run(lines)
+    if args.listen is not None:
+        srv.close()
+    total = 0
+    for r in results:
+        total += len(next(iter(r.columns.values()))) if r.columns else 0
+        _print_window(r.tag, r.columns, spec.schema, args.show)
+    print(f"q{args.query} ingest: {len(results)} windows, {total} output "
+          f"rows; elapsed {time.perf_counter() - t0:.2f}s")
+    return 0
+
+
+def cmd_produce(args) -> int:
+    """Produce a fragment stream from the generator (the source-function
+    side): write line-JSON fragments to a file or a socket endpoint."""
+    from flock_tpu.datagen.ingest import fragment_lines, send_fragments
+    from flock_tpu.queries.nexmark import get_query
+    from flock_tpu.runtime.stream import generate_epochs
+
+    spec = get_query(args.query)
+    rels = tuple(r for r in spec.relations if r != "side_input")
+    epochs = generate_epochs(args.seconds, args.eps, args.generators)
+    lines = fragment_lines(epochs, f"q{args.query}", granule=args.granule,
+                           relations=rels)
+    if args.connect:
+        host, _, port = args.connect.rpartition(":")
+        send_fragments((host or "127.0.0.1", int(port)), lines)
+        print(f"sent {len(lines)} fragments to {args.connect}")
+    else:
+        with open(args.file, "a") as f:
+            for line in lines:
+                f.write(line + "\n")
+        print(f"appended {len(lines)} fragments to {args.file}")
     return 0
 
 
@@ -184,6 +245,17 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    # honor JAX_PLATFORMS even when a platform plugin force-selects itself
+    # (the axon TPU tunnel does); must happen before backend initialization
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:  # noqa: BLE001 — backend already up: keep it
+            pass
+
     ap = argparse.ArgumentParser(prog="flock-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -234,6 +306,30 @@ def main(argv=None) -> int:
     be.add_argument("--seconds", type=int, default=4)
     be.add_argument("--eps", type=int, default=1_000_000)
     be.set_defaults(fn=cmd_bench)
+
+    ig = sub.add_parser("ingest", help="run a query over an external "
+                        "fragment stream (socket or tailed file)")
+    ig.add_argument("-q", "--query", type=int, default=2)
+    ig.add_argument("-s", "--seconds", type=int, default=2)
+    ig.add_argument("--file", default=None, help="tail this fragment log")
+    ig.add_argument("--listen", type=int, default=None,
+                    help="TCP port to listen on (0 = ephemeral)")
+    ig.add_argument("--lines", type=int, required=True,
+                    help="number of fragment lines to consume")
+    ig.add_argument("--timeout", type=float, default=60.0)
+    ig.add_argument("--show", type=int, default=0)
+    ig.set_defaults(fn=cmd_ingest)
+
+    pr = sub.add_parser("produce", help="emit generator fragments to a "
+                        "file or socket (the source-function side)")
+    pr.add_argument("-q", "--query", type=int, default=2)
+    pr.add_argument("-s", "--seconds", type=int, default=2)
+    pr.add_argument("-e", "--eps", type=int, default=1_000)
+    pr.add_argument("-g", "--generators", type=int, default=1)
+    pr.add_argument("--granule", type=int, default=1024)
+    pr.add_argument("--file", default=None)
+    pr.add_argument("--connect", default=None, help="HOST:PORT to send to")
+    pr.set_defaults(fn=cmd_produce)
 
     args = ap.parse_args(argv)
     return args.fn(args)
