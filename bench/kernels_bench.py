@@ -65,38 +65,37 @@ def _time(fn, *args, iters=16):
     import jax.numpy as jnp
     from jax import lax
 
-    def make(k):
-        def chained():
-            def body(i, carry):
-                out = fn(*_perturb(args, carry))
-                dep = jnp.int32(0)
-                for leaf in jax.tree.leaves(out):
-                    dep = dep + leaf.reshape(-1)[0].astype(jnp.int32)
-                return carry + dep
+    # inputs are jit ARGUMENTS, never closure captures: a captured device
+    # array lowers as an HLO constant, forcing a device→host readback of the
+    # whole buffer at trace time (which crawls/hangs through the tunnel)
+    flat, treedef = jax.tree.flatten(args)
 
-            return lax.fori_loop(0, k, body, jnp.int32(0))
+    def chained(*leaves):
+        args2 = jax.tree.unflatten(treedef, leaves)
 
-        return jax.jit(chained)
+        def body(i, carry):
+            out = fn(*_perturb(args2, carry))
+            dep = jnp.int32(0)
+            for leaf in jax.tree.leaves(out):
+                dep = dep + leaf.reshape(-1)[0].astype(jnp.int32)
+            return carry + dep
 
+        return lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    cf = jax.jit(chained)
+    np.asarray(cf(*flat))       # compile + warm
     rtt = _measure_rtt()
-
-    def run(k):
-        cf = make(k)
-        np.asarray(cf())       # compile + warm
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            np.asarray(cf())
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    total = run(iters)
-    if total < 6 * rtt:
-        # amortize the control latency over enough iterations
-        per = max((total - rtt) / iters, rtt / (50 * iters))
-        iters = min(max(iters * 2, int(8 * rtt / per)), 4096)
-        total = run(iters)
-    return max((total - rtt) / iters, 1e-9)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(cf(*flat))
+        best = min(best, time.perf_counter() - t0)
+    # sub-RTT totals are control-latency-bound: report the UPPER bound
+    # total/iters rather than a garbage subtraction (callers see time_s as a
+    # bound; heavy kernels all run well past RTT at their iteration counts)
+    if best - rtt < rtt:
+        return best / iters
+    return (best - rtt) / iters
 
 
 def _perturb(args, carry):
@@ -174,11 +173,11 @@ def main():
 
     # filter: read key (4B), write mask (1B)
     f = jax.jit(lambda k, v: v & (k % 123 == 0))
-    report("filter", _time(f, key, valid), n * 5)
+    report("filter", _time(f, key, valid, iters=256), n * 5)
 
     # project: read 2×4B, write 4B (f32 multiply)
     p = jax.jit(lambda v: jnp.float32(0.908) * v.astype(jnp.float32))
-    report("project_mul", _time(p, val), n * 8)
+    report("project_mul", _time(p, val, iters=256), n * 8)
 
     # dense group aggregate: read key+val (8B) + valid (1B); scatter add i32
     # count + max i32 + key/valid outputs (span ~ negligible)
@@ -217,6 +216,16 @@ def main():
     report("xla_blocked_agg_count_max",
            _time(xb, {"k": key, "v": val}, valid), n * 9 + span * 12,
            ops=n * 1024 * 3)
+
+    # XLA blocked agg with the SAME rich agg set (sum+count+max) — the
+    # dispatch-policy comparison point for pallas_agg_sum_count_max
+    xbs = jax.jit(lambda c, v: blocked.blocked_local_agg(
+        c["k"], v, {"v": c["v"]},
+        [("v", "sum", "s"), (None, "count", "cnt"), ("v", "max", "mx")],
+        span, block=4096, s_loc=1024))
+    report("xla_blocked_agg_sum_count_max",
+           _time(xbs, {"k": key, "v": val}, valid), n * 9 + span * 20,
+           ops=n * 1024 * 7)
 
     # general pallas agg incl. exact limb SUM (the production dense_agg path)
     try:
@@ -263,16 +272,6 @@ def main():
            _time(xf, {"k": key, "v": val, "t": ts}, valid),
            n * 13 + span * 24, ops=n * 1024 * 9)
 
-    # memory-bound grouped aggregation over key-SORTED rows (the q3/q6/q8
-    # post-Rank path, kernels.sorted_segment_aggregate): segmented scans —
-    # no one-hot compute, HBM-roofline-able.  bytes: read k+v+valid (9B),
-    # write key(4)+sum i64(8)+cnt i32(4)+valid(1)
-    skey = jnp.sort(key)
-    sg = jax.jit(lambda c, v: kernels.sorted_segment_aggregate(
-        c, v, "k", [("v", "sum", "s"), (None, "count", "cnt")]))
-    report("sorted_segment_agg_sum_count",
-           _time(sg, {"k": skey, "v": val}, valid), n * 26)
-
     # sort (2 keys + 1 payload): comparison sort, model = logn passes is not
     # HBM-roofline-able; report bytes as 3 cols r/w once for reference
     srt = jax.jit(lambda c, v: kernels.sort_rows(c, v, ["k", "v"]))
@@ -283,6 +282,27 @@ def main():
     cp = jax.jit(lambda c, v: kernels.compact(c, v, n))
     report("compact", _time(cp, {"k": key, "v": val, "t": ts}, valid),
            n * 26)
+
+    # memory-bound grouped aggregation over key-SORTED rows (the q3/q6/q8
+    # post-Rank path, kernels.sorted_segment_aggregate): segmented scans —
+    # no one-hot compute, HBM-roofline-able.  bytes: read k+v+valid (9B),
+    # write key(4)+sum i64(8)+cnt i32(4)+valid(1).  Measured at <=1M rows
+    # and LAST: the associative_scan's log-n slicing makes its remote AOT
+    # compile minutes-long at 4M rows (production windows are <=1M and the
+    # persistent cache amortizes)
+    ns = min(n, 1 << 20)
+    skey = jnp.sort(key[:ns])
+    try:
+        sg = jax.jit(lambda c, v: kernels.sorted_segment_aggregate(
+            c, v, "k", [("v", "sum", "s"), (None, "count", "cnt")]))
+        secs = _time(sg, {"k": skey, "v": val[:ns]}, valid[:ns])
+        saved = n
+        n = ns
+        report("sorted_segment_agg_sum_count", secs, ns * 26)
+        n = saved
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"kernel": "sorted_segment_agg_sum_count",
+                          "error": str(e)[:120]}))
 
     if args.out:
         import jax as _jax

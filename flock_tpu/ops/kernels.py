@@ -200,7 +200,8 @@ def dense_group_aggregate(
     from flock_tpu.pallas import agg as pallas_agg
     from flock_tpu.pallas import join_agg as _pj
 
-    if _pj.enabled() and pallas_agg.local_eligible(list(aggs), n, s_loc):
+    if _pj.enabled() and pallas_agg.local_preferred(list(aggs)) \
+            and pallas_agg.local_eligible(list(aggs), n, s_loc):
         # Pallas path: span accumulators live in VMEM across the grid
         # instead of round-tripping HBM per block; integer sums use 8-bit
         # limb accumulators (pallas/agg.py)

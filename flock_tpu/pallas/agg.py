@@ -153,6 +153,20 @@ def _acc_width(fn: str) -> int:
     return 4 if fn in ("sum", "count_sum") else 1
 
 
+def local_preferred(aggs) -> bool:
+    """Evidence-based dispatch (BENCH_KERNELS.json, v5e, 4M rows): the VMEM-
+    resident Pallas aggregation wins 1.65× on SUM-bearing agg sets (13.8 ms
+    vs 22.8 ms — XLA pays 8 limb dots per block plus HBM accumulator round
+    trips) but loses slightly on plain count/min/max (12.3 vs 10.4 ms — the
+    1024-aligned double window doubles its one-hot ops).  FLOCK_TPU_PALLAS=2
+    forces Pallas for every eligible aggregation."""
+    import os
+
+    if os.environ.get("FLOCK_TPU_PALLAS") == "2":
+        return True
+    return any(fn in ("sum", "count_sum") for _, fn, _ in aggs)
+
+
 def local_eligible(aggs, n_rows: int, s_loc: int = 1024) -> bool:
     """Static eligibility for ``pallas_local_agg`` (int32 columns are the
     caller's precondition — kernels.dense_group_aggregate's int32_only

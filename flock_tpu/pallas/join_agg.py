@@ -181,14 +181,28 @@ def supported(probe_cols, slot_cols, aggs) -> bool:
 
 
 def enabled() -> bool:
-    """Pallas fused kernels: on for the TPU backend, overridable with
-    FLOCK_TPU_PALLAS=0/1 (tests force-enable via interpret mode)."""
+    """Pallas kernels available: on for the TPU backend, overridable with
+    FLOCK_TPU_PALLAS=0/1/2 (tests force-enable via interpret mode)."""
     import os
 
     v = os.environ.get("FLOCK_TPU_PALLAS")
     if v is not None:
         return v != "0"
     return jax.default_backend() == "tpu"
+
+
+def fused_preferred() -> bool:
+    """Whether the FUSED join-aggregate should take the Pallas kernel.
+
+    Measured on v5e (BENCH_KERNELS.json): the Mosaic kernel's 1024-aligned
+    double window doubles its op count, and at q4 shapes the XLA fused scan
+    wins (22.6 ms vs 39.2 ms / 4M rows) — so the fused path defaults to XLA
+    and Pallas is opt-in with FLOCK_TPU_PALLAS=2.  (The standalone blocked
+    aggregation is the opposite: Pallas wins 1.65× on sum-bearing agg sets —
+    see pallas/agg.local_preferred.)"""
+    import os
+
+    return enabled() and os.environ.get("FLOCK_TPU_PALLAS") == "2"
 
 
 MAX_SUM_ROWS = (2**31 - 1) // 255  # int32 limb-accumulator bound

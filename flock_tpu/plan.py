@@ -359,11 +359,12 @@ def fused_local_pass(node: "FusedJoinAggregate",
     pvalid = jnp.pad(p_valid, (0, pad))
     from flock_tpu.pallas import join_agg
 
-    if join_agg.enabled() and join_agg.eligible(
+    if join_agg.fused_preferred() and join_agg.eligible(
             slot_cols, pcols, replay, list(node.aggs)):
-        # Pallas path: span accumulators live in VMEM across the grid instead
-        # of round-tripping HBM per block (int64 timestamps are rebased to
-        # window-relative int32; out-of-range windows escape to the fallback)
+        # Pallas path (opt-in, FLOCK_TPU_PALLAS=2): span accumulators live in
+        # VMEM across the grid instead of round-tripping HBM per block (int64
+        # timestamps rebase to window-relative int32); the measured default
+        # is the XLA fused scan — see join_agg.fused_preferred
         out, ovalid, esc = join_agg.fused_join_aggregate_rebased(
             slot_cols, present, m, pcols, pvalid, jn.probe_key, replay,
             list(node.aggs))

@@ -156,7 +156,7 @@ def test_q4_pallas_path_matches_default(monkeypatch):
     out_ref, ovf_ref = jax.jit(compile_plan(spec.plan, agg_capacity=1024))(tables)
     assert not bool(ovf_ref)
 
-    monkeypatch.setenv("FLOCK_TPU_PALLAS", "1")
+    monkeypatch.setenv("FLOCK_TPU_PALLAS", "2")  # fused pallas is opt-in
     with pltpu.force_tpu_interpret_mode():
         out_p, ovf_p = compile_plan(spec.plan, agg_capacity=1024)(tables)
     assert not bool(ovf_p)
