@@ -44,6 +44,19 @@ def cmd_nexmark(args) -> int:
     sink = make_sink(args.sink) if args.sink else None
     t0 = time.perf_counter()
     spec = get_query(args.query)
+    if getattr(args, "trace", False):
+        # jax.profiler trace around the whole run (TensorBoard/xprof dir)
+        import contextlib
+
+        from flock_tpu.utils.metrics import device_trace
+
+        stack = contextlib.ExitStack()
+        stack.enter_context(
+            device_trace(f"nexmark_q{args.query}", enabled=True))
+        print("profiler trace → /tmp/flock_tpu_trace/"
+              f"nexmark_q{args.query}")
+    else:
+        stack = None
     if args.distributed:
         from flock_tpu.parallel.stream import DistStreamDriver
         from flock_tpu.runtime.stream import generate_epoch_parts
@@ -71,6 +84,8 @@ def cmd_nexmark(args) -> int:
         print(f"q{args.query}: {len(results)} windows, {total} output rows")
         if sink:
             print(f"sink[{args.sink}]: {sink.read()}")
+    if stack is not None:
+        stack.close()
     print(f"elapsed: {time.perf_counter() - t0:.2f}s")
     if args.metrics:
         from flock_tpu.utils.metrics import METRICS
@@ -272,6 +287,9 @@ def main(argv=None) -> int:
     nr.add_argument("--show", type=int, default=0)
     nr.add_argument("--metrics", action="store_true",
                     help="print the per-query metrics registry after the run")
+    nr.add_argument("--trace", action="store_true",
+                    help="write a jax.profiler trace of the run to "
+                    "/tmp/flock_tpu_trace/ (TensorBoard/xprof format)")
     nr.add_argument("--sink", choices=["blackhole", "memory", "file"],
                     default=None)
     nr.set_defaults(fn=cmd_nexmark)
