@@ -12,8 +12,11 @@ into block-local one-hot contractions:
   a narrow, advancing range — hot keys sit ≤ ~120 ids behind the frontier,
   generator striping ≤ ~750·shards: SURVEY §3.4);
 * the block builds a ``[B, S_loc]`` one-hot match matrix and reduces it:
-  counts/sums ride the MXU (f32 one-hot matmul — exact for 0/1 products with
-  16-bit limb splitting for wide values), min/max ride the VPU;
+  counts/sums ride the MXU as ONE stacked bf16 matmul per block (8-bit limbs
+  ≤255 and 0/1 mask entries are bf16-exact; the MXU accumulates in f32 and
+  block partials stay < 2^24, so integer results are exact — and bf16 is the
+  MXU's native rate, f32 matmuls are multi-pass emulated), min/max ride the
+  VPU;
 * per-block results merge into the span accumulator with *contiguous*
   dynamic-slice updates (fast), never scattered.
 
@@ -36,17 +39,6 @@ from jax import lax
 I32_MAX = np.int32(2**31 - 1)  # np scalar: inlines as a literal (a jnp
 # scalar constant becomes a hidden executable parameter and breaks dispatch)
 I32_MIN = np.int32(-(2**31))
-
-
-def _limbs(v: jax.Array):
-    """Split non-negative int32 into two 16-bit limbs (f32-exact).
-
-    Safe ONLY where each output element receives at most one contribution
-    (the join gather); block-level SUMS must use ``_limbs8`` — a 16-bit limb
-    summed over a 4096-row block can reach 2.7e8, beyond f32's 2^24 exact
-    integer range."""
-    v = v.astype(jnp.int32)
-    return (v & 0xFFFF).astype(jnp.float32), (v >> 16).astype(jnp.float32)
 
 
 def _limbs8(v: jax.Array):
@@ -117,25 +109,33 @@ def blocked_local_agg(
         escape = escape | jnp.any(vblk & ~ok)
         rel = jnp.where(ok, rel, s_loc)  # out of one-hot range
         onehot = (rel[:, None] == iota[None, :])            # [B, S_loc] bool
-        oh_f = onehot.astype(jnp.float32)
+        oh_bf = onehot.astype(jnp.bfloat16)
+
+        # Stack the count row + every sum column's 8-bit limbs into ONE bf16
+        # MXU matmul (exact: limbs ≤255 and 0/1 entries are bf16-exact, f32
+        # accumulation, block partials ≤ 4096·255 < 2^24), instead of one f32
+        # matvec per limb (f32 matmuls are multi-pass-emulated on the MXU).
+        sum_rows = [jnp.ones((block,), jnp.bfloat16)]
+        row_of: dict[str, tuple[int, int]] = {}
+        for in_col, fn, out in aggs:
+            if fn in ("sum", "count_sum") and in_col not in row_of:
+                limbs = _limbs8(colvals[in_col])
+                row_of[in_col] = (len(sum_rows), len(limbs))
+                sum_rows.extend(l.astype(jnp.bfloat16) for l in limbs)
+        stacked = jnp.dot(jnp.stack(sum_rows), oh_bf,
+                          preferred_element_type=jnp.float32)  # [R, S_loc]
+        cnt = stacked[0].astype(jnp.int32)
 
         new = {}
-        cnt = jnp.dot(jnp.ones((block,), jnp.float32), oh_f,
-                      preferred_element_type=jnp.float32).astype(jnp.int32)
         for in_col, fn, out in aggs + [(None, "count", "__cnt")]:
             win = lax.dynamic_slice(outs[out], (base,), (s_loc,))
             if fn == "count":
                 upd = win + cnt
-            elif fn == "count_sum":
-                parts = [jnp.dot(l, oh_f, preferred_element_type=jnp.float32)
-                         for l in _limbs8(colvals[in_col])]
-                upd = win + sum(p.astype(jnp.int32) << (8 * i)
-                                for i, p in enumerate(parts))
-            elif fn == "sum":
-                parts = [jnp.dot(l, oh_f, preferred_element_type=jnp.float32)
-                         for l in _limbs8(colvals[in_col])]
-                upd = win + sum(p.astype(jnp.int64) << (8 * i)
-                                for i, p in enumerate(parts))
+            elif fn in ("count_sum", "sum"):
+                r0, nl = row_of[in_col]
+                acc_dt = jnp.int64 if fn == "sum" else jnp.int32
+                upd = win + sum(stacked[r0 + i].astype(acc_dt) << (8 * i)
+                                for i in range(nl))
             elif fn == "min":
                 v = jnp.where(onehot, colvals[in_col][:, None], I32_MAX)
                 upd = jnp.minimum(win, jnp.min(v, axis=0))
@@ -163,10 +163,13 @@ def _chunked_limb_sum(v: jax.Array, onehot: jax.Array, acc_dtype):
     chunk = 4096
     total = jnp.zeros((span,), acc_dtype)
     for start in range(0, n, chunk):
-        oh = onehot[start:start + chunk].astype(jnp.float32)
-        for i, limb in enumerate(_limbs8(v[start:start + chunk])):
-            p = jnp.dot(limb, oh, preferred_element_type=jnp.float32)
-            total = total + (p.astype(acc_dtype) << (8 * i))
+        oh = onehot[start:start + chunk].astype(jnp.bfloat16)
+        limbs = _limbs8(v[start:start + chunk])
+        stacked = jnp.dot(
+            jnp.stack([l.astype(jnp.bfloat16) for l in limbs]), oh,
+            preferred_element_type=jnp.float32)  # [L, span], exact (<2^24)
+        total = total + sum(stacked[i].astype(acc_dtype) << (8 * i)
+                            for i in range(len(limbs)))
     return total
 
 
@@ -190,10 +193,9 @@ def full_onehot_agg(
     rel = jnp.where(ok, rel, out_capacity)
     iota = jnp.arange(out_capacity, dtype=jnp.int32)
     onehot = rel[:, None] == iota[None, :]
-    oh_f = onehot.astype(jnp.float32)
 
     out_cols = {}
-    cnt = jnp.dot(jnp.ones((n,), jnp.float32), oh_f,
+    cnt = jnp.dot(jnp.ones((n,), jnp.bfloat16), onehot.astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32).astype(jnp.int32)
     for in_col, fn, out in aggs:
         if fn == "count":
@@ -243,11 +245,17 @@ def blocked_local_join(
     vb = probe_valid.reshape(nb, block)
     iota = jnp.arange(s_loc, dtype=jnp.int32)
 
-    present_f = build_present.astype(jnp.float32)
-    limb_cols = {}
+    # Per-column 8-bit limbs, bf16-exact (≤255; top limb UNMASKED so the
+    # arithmetic-shift reconstruction preserves negative int32 values, like
+    # the old 16-bit split).  All limbs of all columns + the presence row ride
+    # ONE bf16 MXU matmul per block: each one-hot row has ≤1 nonzero, so every
+    # gathered product is a single exact bf16·bf16 term.
+    present_bf = build_present.astype(jnp.bfloat16)
+    limb_cols: dict[str, list[jax.Array]] = {}
     for c in take:
-        lo, hi = _limbs(build_slot_cols[c])
-        limb_cols[c] = (lo, hi)
+        v = build_slot_cols[c].astype(jnp.int32)
+        limb_cols[c] = [((v >> (8 * i)) & 0xFF).astype(jnp.bfloat16)
+                        for i in range(3)] + [(v >> 24).astype(jnp.bfloat16)]
 
     def step(escape, xs):
         kblk, vblk = xs
@@ -264,19 +272,21 @@ def blocked_local_join(
         escape = escape | jnp.any(candidate & ~ok)
         rel_c = jnp.where(ok, rel, s_loc)
         onehot = rel_c[:, None] == iota[None, :]
-        oh_f = onehot.astype(jnp.float32)
+        oh_bf = onehot.astype(jnp.bfloat16)
 
-        pres_w = lax.dynamic_slice(present_f, (base,), (s_loc,))
-        hit = (jnp.dot(oh_f, pres_w, preferred_element_type=jnp.float32)
-               > 0.5) & ok
-        gathered = []
+        win_rows = [lax.dynamic_slice(present_bf, (base,), (s_loc,))]
         for c in take:
-            lo_w = lax.dynamic_slice(limb_cols[c][0], (base,), (s_loc,))
-            hi_w = lax.dynamic_slice(limb_cols[c][1], (base,), (s_loc,))
-            glo = jnp.dot(oh_f, lo_w, preferred_element_type=jnp.float32)
-            ghi = jnp.dot(oh_f, hi_w, preferred_element_type=jnp.float32)
-            gathered.append(glo.astype(jnp.int32)
-                            + (ghi.astype(jnp.int32) << 16))
+            win_rows.extend(lax.dynamic_slice(l, (base,), (s_loc,))
+                            for l in limb_cols[c])
+        win_mat = jnp.stack(win_rows, axis=1)               # [S_loc, 1+4C]
+        res = jnp.dot(oh_bf, win_mat,
+                      preferred_element_type=jnp.float32)   # [B, 1+4C]
+        hit = (res[:, 0] > 0.5) & ok
+        gathered = []
+        for j, c in enumerate(take):
+            limbs = res[:, 1 + 4 * j: 5 + 4 * j].astype(jnp.int32)
+            gathered.append(limbs[:, 0] + (limbs[:, 1] << 8)
+                            + (limbs[:, 2] << 16) + (limbs[:, 3] << 24))
         return escape, (hit, tuple(gathered))
 
     escape, (hits, gathered) = lax.scan(
@@ -389,18 +399,45 @@ def blocked_join_aggregate(
         bcast, pair = replay(bcast, pair)
 
         new = {}
-        pair_f = pair.astype(jnp.float32)
-        cnt = jnp.sum(pair, axis=0, dtype=jnp.int32)
+        pair_bf = pair.astype(jnp.bfloat16)
+        # One stacked bf16 MXU matmul computes the count row plus every
+        # probe-side integer sum: sum_b col[b]·pair[b,s] = limbs(col) @ pair.
+        # Exact: 8-bit limbs (0..255) and 0/1 mask entries are bf16-exact,
+        # the MXU accumulates in f32, and partials stay ≤ 4096·255 < 2^24.
+        # (The old path materialized 8 [B,S_loc] limb·mask products on the
+        # VPU per block — ~8× n·S_loc elementwise ops; this is n·S_loc MACs.)
+        sum_rows = [jnp.ones((block,), jnp.bfloat16)]   # row 0 → count
+        row_of: dict[str, tuple[int, int]] = {}
+        for in_col, fn, out in aggs:
+            if fn == "sum" and in_col not in row_of \
+                    and bcast[in_col].shape == (block, 1):
+                limbs = _limbs8(bcast[in_col].reshape(block))
+                row_of[in_col] = (len(sum_rows), len(limbs))
+                sum_rows.extend(l.astype(jnp.bfloat16) for l in limbs)
+        stacked = jnp.dot(jnp.stack(sum_rows), pair_bf,
+                          preferred_element_type=jnp.float32)  # [R, S_loc]
+        cnt = stacked[0].astype(jnp.int32)
         for in_col, fn, out in aggs + [(None, "count", "__cnt")]:
             win = lax.dynamic_slice(outs[out], (base,), (s_loc,))
             if fn in ("count", "count_sum"):
                 upd = win + cnt
             elif fn == "sum":
-                col = jnp.broadcast_to(bcast[in_col], (block, s_loc))
-                acc = jnp.zeros((s_loc,), jnp.int64)
-                for i, limb2d in enumerate(_limbs8(col)):
-                    p = jnp.sum(limb2d * pair_f, axis=0, dtype=jnp.float32)
-                    acc = acc + (p.astype(jnp.int64) << (8 * i))
+                if in_col in row_of:            # probe-side: MXU rows above
+                    r0, nl = row_of[in_col]
+                    acc = sum(stacked[r0 + i].astype(jnp.int64) << (8 * i)
+                              for i in range(nl))
+                elif bcast[in_col].shape == (1, s_loc):
+                    # build-side: constant down rows ⇒ sum = col · pair-count
+                    acc = (bcast[in_col].reshape(s_loc).astype(jnp.int64)
+                           * cnt.astype(jnp.int64))
+                else:                           # true 2-D replay output
+                    col = jnp.broadcast_to(bcast[in_col], (block, s_loc))
+                    pair_f = pair.astype(jnp.float32)
+                    acc = jnp.zeros((s_loc,), jnp.int64)
+                    for i, limb2d in enumerate(_limbs8(col)):
+                        p = jnp.sum(limb2d * pair_f, axis=0,
+                                    dtype=jnp.float32)
+                        acc = acc + (p.astype(jnp.int64) << (8 * i))
                 upd = win + acc
             elif fn == "min":
                 dt = win.dtype
