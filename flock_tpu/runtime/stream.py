@@ -134,10 +134,6 @@ class SessionState:
     last_s: dict = field(default_factory=dict)        # bidder → last row sec
     epoch: int = 0
 
-    @staticmethod
-    def _last_ts(frags) -> int:
-        return int(frags[-1]["b_date_time"][-1])
-
     def advance(self, bids: dict, t: int) -> list[tuple[tuple, list[dict]]]:
         """Feed one epoch's bids; returns sessions closed by gap/timeout."""
         emitted = []
@@ -182,6 +178,7 @@ class SessionState:
         out = [(("session", b, seconds), f)
                for b, f in self.open_windows.items()]
         self.open_windows.clear()
+        self.last_s.clear()
         return out
 
     # -- checkpoint / resume --------------------------------------------------
@@ -203,7 +200,12 @@ class SessionState:
     def from_payloads(cls, gap: int, payloads) -> "SessionState":
         st = cls(gap=gap)
         for p in payloads:
-            st.open_windows[p.metadata["bidder"]] = [dict(p.columns)]
+            bidder = p.metadata["bidder"]
+            st.open_windows[bidder] = [dict(p.columns)]
+            # fragments are time-ordered, so the restored window's last row
+            # second is the tail of b_date_time — the open_windows/last_s
+            # invariant must hold on resume or advance/timeout break
+            st.last_s[bidder] = int(p.columns["b_date_time"][-1]) // 1000
             st.epoch = max(st.epoch, p.metadata["epoch"])
         return st
 

@@ -39,3 +39,36 @@ def test_session_checkpoint_resume(tmp_path):
                             backend=FileStateBackend(root=str(tmp_path)))
     assert direct == resumed
     assert len(direct) > 0
+
+
+def test_session_timeout_after_resume(tmp_path):
+    """A session open at checkpoint time must still TIME OUT after resume —
+    i.e. from_payloads restores the last-row-second bookkeeping, not just the
+    fragment rows (the silent failure mode where restored sessions never
+    expire)."""
+    from flock_tpu.datagen.nexmark import NexmarkConfig
+
+    base = NexmarkConfig().base_time
+    bid = {
+        "auction": np.array([7, 7], np.int64),
+        "bidder": np.array([42, 42], np.int64),
+        "price": np.array([100, 200], np.int64),
+        "b_date_time": np.array([base, base + 500], np.int64),
+    }
+    empty = {k: v[:0] for k, v in bid.items()}
+    # bidder 42 bids in epoch 0 only; gap=3 → session must close by timeout
+    # at epoch 3 (now_s - gap > last_s), which is AFTER the resume at epoch 2
+    epochs = [{"bid": bid}] + [{"bid": empty}] * 7
+    direct = _run_sessions(epochs, gap=3)
+    resumed = _run_sessions(epochs, gap=3, split_at=2,
+                            backend=FileStateBackend(root=str(tmp_path)))
+    assert direct == resumed == [(42, 2, base, base + 500)]
+
+    # the emission tag records the CLOSE epoch: by timeout, not end-of-stream
+    st = SessionState(gap=3)
+    emitted = []
+    for t, tables in enumerate(epochs):
+        emitted += st.advance(tables["bid"], t)
+    assert emitted and emitted[0][0][2] < len(epochs)
+    assert not st.open_windows and not st.last_s
+    assert st.flush(len(epochs)) == []
