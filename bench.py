@@ -30,17 +30,32 @@ def _set_bench_env(no_fallback: bool) -> None:
 REFERENCE_EVENTS_PER_SEC = 10_000 / 1.17785  # README q5 demo REPORT line
 
 
+_EPOCH_CACHE: dict = {}
+
+
+def _gen_epochs(seconds: int, eps: int):
+    """Generate (or reuse) the deterministic event stream for one config —
+    q0–q13 share identical inputs at equal (seconds, eps), so the 2-vCPU
+    host's generation cost is paid once per config across an --all sweep."""
+    from flock_tpu.runtime.stream import generate_epochs
+
+    key = (seconds, eps)
+    if key not in _EPOCH_CACHE:
+        t0 = time.perf_counter()
+        epochs = generate_epochs(seconds, eps)
+        _EPOCH_CACHE[key] = (epochs, time.perf_counter() - t0)
+    return _EPOCH_CACHE[key]
+
+
 def bench_query(qnum: int, seconds: int, eps: int, repeats: int = 3):
     import jax
 
     from flock_tpu.queries.nexmark import get_query
     from flock_tpu.runtime.executor import LocalExecutor
-    from flock_tpu.runtime.stream import StreamDriver, generate_epochs
+    from flock_tpu.runtime.stream import StreamDriver
 
     spec = get_query(qnum)
-    gen_t0 = time.perf_counter()
-    epochs = generate_epochs(seconds, eps)
-    gen_dt = time.perf_counter() - gen_t0
+    epochs, gen_dt = _gen_epochs(seconds, eps)
 
     driver = StreamDriver(spec, seconds)
     # build window tables once (host-side slicing excluded from device timing)
@@ -115,14 +130,14 @@ def bench_query(qnum: int, seconds: int, eps: int, repeats: int = 3):
 def bench_stream_query(qnum: int, seconds: int, eps: int, repeats: int = 3):
     """q11/q12 (session/processing-time): the windows are data-dependent, so
     the honest number is the FULL streaming driver — host sessionization +
-    per-epoch device execution — not a pre-sliced window loop."""
+    per-epoch HBM staging + device execution — not a pre-sliced window loop.
+    (Unlike bench_query, the host→device feed is INSIDE the timed loop: the
+    stream driver stages each epoch as it arrives.)"""
     from flock_tpu.queries.nexmark import get_query
-    from flock_tpu.runtime.stream import StreamDriver, generate_epochs
+    from flock_tpu.runtime.stream import StreamDriver
 
     spec = get_query(qnum)
-    gen_t0 = time.perf_counter()
-    epochs = generate_epochs(seconds, eps)
-    gen_dt = time.perf_counter() - gen_t0
+    epochs, gen_dt = _gen_epochs(seconds, eps)
     rows_in = sum(len(next(iter(e["bid"].values()))) for e in epochs)
 
     driver = StreamDriver(spec, seconds)
@@ -135,7 +150,7 @@ def bench_stream_query(qnum: int, seconds: int, eps: int, repeats: int = 3):
     return {
         "query": qnum, "rows_in": rows_in, "wall_time_s": best,
         "rows_per_s": rows_in / best, "gen_time_s": gen_dt,
-        "windows": len(results), "mode": "streaming_driver",
+        "windows": len(results), "mode": "streaming_driver_feed_included",
     }
 
 
@@ -177,7 +192,10 @@ def bench_ysb(seconds: int, eps: int, repeats: int = 3):
     staged = jax.block_until_ready(jax.device_put(staged))
     feed_dt = time.perf_counter() - t0
 
-    out = executor.execute_batches(staged[0])  # warm (compile)
+    # warm (compile) + validate capacities on EVERY window once — a
+    # later-window overflow must fail loudly, not corrupt the timed repeats
+    for b in staged:
+        out = executor.execute_batches(b, check_overflow=True)
     _np.asarray(out.valid[:1])
     best = float("inf")
     for _ in range(repeats):
@@ -202,31 +220,69 @@ def main():
                     help="timing repeats; min is reported (the 2-vCPU host "
                     "contends with the tunnel — more repeats filter it)")
     ap.add_argument("--all", action="store_true",
-                    help="also print per-query results for q0..q13 + YSB "
-                    "to stderr")
+                    help="run q0..q13 + YSB and WRITE the per-query artifact")
+    ap.add_argument("--out", default="BENCH_QUERIES.json",
+                    help="artifact path for --all (written by the harness "
+                    "itself so the recorded table cannot drift from the run)")
     args = ap.parse_args()
     _set_bench_env(no_fallback=not args.all)
 
     if args.all:
+        results = []
+
+        def record(r):
+            results.append(r)
+            print(json.dumps(r), file=sys.stderr)
+
         for q in range(14):
             try:
                 # windowed queries (q5 hopping, q7/q8 tumbling) need ≥10s
                 secs = max(args.seconds, 10) if q in (5, 7, 8) else args.seconds
+                eps = args.eps
+                # q3 (persons+auctions = 8% of events) and q8 (one tumbling
+                # window) need larger driving inputs so compute, not dispatch
+                # round-trips, dominates the measurement
+                if q == 3:
+                    eps = max(eps, 4 * args.eps)
+                if q == 8:
+                    eps = max(eps, 5_000_000)
                 if q in (11, 12):
-                    # session/ptime throughput is host-sessionization-bound;
-                    # 1M events/s keeps the --all sweep's wall time sane
-                    r = bench_stream_query(q, secs, min(args.eps, 1_000_000),
-                                           repeats=args.repeats)
+                    r = bench_stream_query(q, secs, eps, repeats=args.repeats)
                 else:
-                    r = bench_query(q, secs, args.eps, repeats=args.repeats)
-                print(json.dumps(r), file=sys.stderr)
+                    r = bench_query(q, secs, eps, repeats=args.repeats)
+                r["seconds"], r["eps"] = secs, eps
+                record(r)
             except Exception as e:  # noqa: BLE001
-                print(f"q{q} failed: {e}", file=sys.stderr)
+                record({"query": q, "error": str(e)[:200]})
         try:
-            print(json.dumps(bench_ysb(max(args.seconds, 10), args.eps,
-                                       repeats=args.repeats)), file=sys.stderr)
+            ysb_secs = max(args.seconds, 10)
+            if ysb_secs != args.seconds:
+                print(f"ysb: seconds raised to {ysb_secs} (tumbling window)",
+                      file=sys.stderr)
+            r = bench_ysb(ysb_secs, args.eps, repeats=args.repeats)
+            r["seconds"], r["eps"] = ysb_secs, args.eps
+            record(r)
         except Exception as e:  # noqa: BLE001
-            print(f"ysb failed: {e}", file=sys.stderr)
+            record({"query": "ysb", "error": str(e)[:200]})
+
+        import jax
+
+        doc = {
+            "hardware": str(jax.devices()[0]),
+            "config": {
+                "seconds": args.seconds, "events_per_second": args.eps,
+                "repeats": args.repeats,
+                "note": ("windowed queries (q5/q7/q8, ysb) run at >=10s; "
+                         "q3 at 4x eps and q8 at >=5M eps so compute "
+                         "dominates dispatch RTT; q11/q12 use the full "
+                         "streaming driver (host sessionization + per-epoch "
+                         "HBM staging INSIDE the timed loop)"),
+            },
+            "results": results,
+        }
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1)
+            f.write("\n")
 
     r = bench_query(args.query, args.seconds, args.eps, repeats=args.repeats)
     print(json.dumps({

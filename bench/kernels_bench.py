@@ -283,6 +283,14 @@ def main():
     report("compact", _time(cp, {"k": key, "v": val, "t": ts}, valid),
            n * 26)
 
+    # rank: ROW_NUMBER per group = 2-key sort + segmented cummax; bytes as
+    # 3 cols + valid read, 3 cols + rank + valid written (sort passes make
+    # this a lower bound, same caveat as sort_2key)
+    rk = jax.jit(lambda c, v: kernels.rank_in_group(c, v, "k", "v", True,
+                                                    "rank"))
+    report("rank_in_group", _time(rk, {"k": key, "v": val, "t": ts}, valid),
+           n * 30)
+
     # memory-bound grouped aggregation over key-SORTED rows (the q3/q6/q8
     # post-Rank path, kernels.sorted_segment_aggregate): segmented scans —
     # no one-hot compute, HBM-roofline-able.  bytes: read k+v+valid (9B),

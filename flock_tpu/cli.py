@@ -57,6 +57,15 @@ def cmd_nexmark(args) -> int:
               f"nexmark_q{args.query}")
     else:
         stack = None
+    if getattr(args, "multihost", False):
+        rc = _run_nexmark_multihost(args, spec, sink)
+        if stack is not None:
+            stack.close()
+        print(f"elapsed: {time.perf_counter() - t0:.2f}s")
+        if args.metrics:
+            from flock_tpu.utils.metrics import METRICS
+            print(METRICS.report())
+        return rc
     if args.distributed:
         from flock_tpu.parallel.stream import DistStreamDriver
         from flock_tpu.runtime.stream import generate_epoch_parts
@@ -90,6 +99,68 @@ def cmd_nexmark(args) -> int:
     if args.metrics:
         from flock_tpu.utils.metrics import METRICS
         print(METRICS.report())
+    return 0
+
+
+def _run_nexmark_multihost(args, spec, sink) -> int:
+    """One SPMD window over every chip of the slice; each host generates ONLY
+    the generator partitions owned by its local devices (the
+    one-command-per-host pod deployment documented in parallel/multihost.py —
+    the analogue of the reference's per-host source functions,
+    flock-cli/src/nexmark.rs).  The whole run executes as one global window."""
+    import jax
+
+    if spec.window[0] in ("session", "global"):
+        print("error: --multihost supports range/elementwise windows "
+              "(session/processing-time bookkeeping is single-host for now)",
+              file=sys.stderr)
+        return 2
+    if args.coordinator:  # CPU/GPU clusters; TPU pods self-configure
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    from flock_tpu.parallel.multihost import (MultiHostExecutor,
+                                              init_distributed,
+                                              local_partition_ids,
+                                              make_multihost_mesh)
+
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
+
+    from flock_tpu.datagen.native_gen import nexmark_generate_partition
+    from flock_tpu.datagen.nexmark import NexmarkConfig
+    from flock_tpu.runtime.executor import materialize_columns
+    from flock_tpu.runtime.tables import (concat_relations,
+                                          default_side_input,
+                                          epoch_to_relations)
+
+    mesh = make_multihost_mesh()
+    n_shards = len(list(mesh.devices.flat))
+    gens = max(args.generators, n_shards)
+    cfg = NexmarkConfig(events_per_second=args.eps,
+                        num_event_generators=gens)
+    rels = tuple(r for r in spec.relations if r != "side_input")
+    ex = MultiHostExecutor(spec, mesh=mesh)
+    per_shard = {s: [] for s in ex.local_shards}
+    for p in local_partition_ids(gens, mesh):
+        for e in nexmark_generate_partition(cfg, args.seconds, p):
+            if e.epoch < args.seconds:
+                per_shard[p % n_shards].append(epoch_to_relations(e))
+    local_tables = []
+    for s in ex.local_shards:
+        st = dict(concat_relations(per_shard[s], rels))
+        if "side_input" in spec.relations:
+            si = default_side_input()
+            st["side_input"] = si if s == 0 else \
+                {k: v[:0] for k, v in si.items()}
+        local_tables.append(st)
+    cols = materialize_columns(spec, ex.execute_window(local_tables))
+    n = len(next(iter(cols.values()))) if cols else 0
+    if jax.process_index() == 0:
+        _print_window(("multihost", 0, args.seconds), cols, spec.schema,
+                      args.show)
+        if sink:
+            sink.write(("multihost", 0, args.seconds), cols, spec.schema)
+        print(f"q{args.query} multihost: {jax.process_count()} process(es) × "
+              f"{n_shards} shards, {n} output rows")
     return 0
 
 
@@ -282,6 +353,15 @@ def main(argv=None) -> int:
     nr.add_argument("-e", "--eps", type=int, default=10_000)
     nr.add_argument("-g", "--generators", type=int, default=1)
     nr.add_argument("--distributed", action="store_true")
+    nr.add_argument("--multihost", action="store_true",
+                    help="run ONE SPMD window over every process's devices "
+                    "(same command on every host; pod metadata or "
+                    "--coordinator flags wire the processes together)")
+    nr.add_argument("--coordinator", default=None,
+                    help="host:port for CPU/GPU clusters (TPU pods "
+                    "self-configure)")
+    nr.add_argument("--num-processes", type=int, default=None)
+    nr.add_argument("--process-id", type=int, default=None)
     from flock_tpu.config import CONFIG
     nr.add_argument("--shards", type=int, default=CONFIG.target_partitions)
     nr.add_argument("--show", type=int, default=0)

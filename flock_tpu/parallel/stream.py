@@ -135,23 +135,24 @@ class DistStreamDriver:
 
     def _run_session(self, epoch_parts) -> list[WindowResult]:
         """STREAMING session windows (see StreamDriver._run_session): closed
-        sessions execute per epoch; host state is bounded by open sessions."""
-        from flock_tpu.runtime.stream import sessions_to_batch
-
+        sessions execute per epoch; host state is bounded by open sessions.
+        Emissions materialize on host and row-shard across the mesh (the
+        per-window compute is the distributed part, as in the reference's
+        source-function session driver)."""
         state = SessionState(gap=self.spec.window[1])
         out: list[WindowResult] = []
         sid = 0
         t = -1
         for t, parts in enumerate(epoch_parts):
-            closed = state.advance(self._merged_bids(parts), t)
-            if closed:
-                bid = sessions_to_batch(closed, sid)
-                sid += len(closed)
+            em = state.advance(self._merged_bids(parts), t)
+            if em is not None:
+                bid = em.to_batch(sid)
+                sid += em.n_sessions
                 out.append(self._exec_session_batch(bid, ("sessions", t)))
-        closed = state.flush(t + 1)
-        if closed:
-            bid = sessions_to_batch(closed, sid)
-            out.append(self._exec_session_batch(bid, ("sessions", t + 1)))
+        em = state.flush(t + 1)
+        if em is not None:
+            out.append(self._exec_session_batch(em.to_batch(sid),
+                                                ("sessions", t + 1)))
         return out
 
     def _run_global(self, epoch_parts) -> list[WindowResult]:

@@ -450,6 +450,44 @@ def walk(root: Node):
     return seen
 
 
+def referenced_columns(root: Node) -> set[str] | None:
+    """Over-approximate the set of column names a plan reads, or None when it
+    is not statically determinable (callable exprs hide their reads).
+
+    Drivers use this to project input tables down to the live columns before
+    staging them in HBM (the column-pushdown the reference gets from
+    DataFusion's ProjectionPushdown pass).  The result may include non-scan
+    names (aggregate outputs, projection aliases); callers intersect with the
+    actual table columns, which is safe because every read is either a listed
+    string or forces the None fallback."""
+    cols: set[str] = set()
+    for n in walk(root):
+        if isinstance(n, Filter):
+            return None  # predicate is an opaque callable
+        if isinstance(n, Project):
+            for _, e in n.exprs:
+                if not isinstance(e, str):
+                    return None
+                cols.add(e)
+        elif isinstance(n, Aggregate):
+            cols.update(n.group_keys)
+            cols.update(c for c, _, _ in n.aggs if c is not None)
+        elif isinstance(n, Join):
+            if n.post_filter is not None:
+                return None
+            cols.update((n.build_key, n.probe_key))
+            cols.update(src for src, _ in n.take)
+        elif isinstance(n, Rank):
+            cols.update((n.group_key, n.order_col))
+            if n.tiebreak:
+                cols.add(n.tiebreak)
+        elif isinstance(n, Sort):
+            cols.update(n.keys)
+        elif isinstance(n, FusedJoinAggregate):
+            return None  # pre-fusion plans only; fusion happens at compile
+    return cols
+
+
 @dataclass(frozen=True)
 class FusedJoinAggregate(Node):
     """Join + (filters/projections) + grouped aggregation fused into one

@@ -282,11 +282,15 @@ def q11() -> QuerySpec:
     # __session ids are globally unique per session, so GROUP BY
     # (bidder, __session) ≡ GROUP BY __session with bidder carried.
     plan = Project(
+        # __session labels are a monotone compression of bidder ids, so a
+        # block's label span is bounded by the bidder stream's natural
+        # locality window (labels arrive UNSORTED in arrival order)
         Aggregate(_bid_scan(), group_keys=("__session",),
                   aggs=(("bidder", "max", "bidder"),
                         (None, "count", "bid_count"),
                         ("b_date_time", "min", "start_time"),
-                        ("b_date_time", "max", "end_time"))),
+                        ("b_date_time", "max", "end_time")),
+                  s_loc=S_LOC_PERSON_OVER_BID),
         (("bidder", "bidder"), ("bid_count", "bid_count"),
          ("start_time", "start_time"), ("end_time", "end_time")),
     )

@@ -27,6 +27,15 @@ class OverflowError(RuntimeError):
     size guards); retry with larger capacities."""
 
 
+def _pow2_bucket(n: int) -> int:
+    """Power-of-two capacity bucket: batches reuse a handful of compiled
+    programs instead of one compile per distinct row count."""
+    c = 128
+    while c < n:
+        c *= 2
+    return c
+
+
 # Module-level jitted entry points with the (hashable, immutable) plan as a
 # static argument.  Per-executor jit closures previously hit a C++ pjit
 # fastpath bug after closure garbage collection (stale executables answering
@@ -49,6 +58,45 @@ def _run_plan_stacked(plan, agg_capacity: int, stacked: dict[str, Batch]):
     control path)."""
     fn = compile_plan(plan, agg_capacity)
     return jax.lax.map(fn, stacked)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _run_plan_labeled(plan, agg_capacity: int, rel: str,
+                      chunks: list[Batch], labels: list, lives: list):
+    """Run the plan over device-RESIDENT chunks with host-computed session
+    labels: the emitted "table" is assembled in HBM from rows staged once per
+    epoch plus per-row int32 labels — the only per-emission transfer.  This is
+    the TPU-native replacement for re-shipping session windows to an
+    aggregator (the reference re-invokes with whole windows in the payload,
+    window/session.rs:245-263)."""
+    cols = {}
+    for c in chunks[0].columns:
+        cols[c] = jnp.concatenate([ch.columns[c] for ch in chunks])
+    cols["__session"] = jnp.concatenate(labels)
+    valid = jnp.concatenate([ch.valid & lv for ch, lv in zip(chunks, lives)])
+    return compile_plan(plan, agg_capacity)(
+        {rel: Batch(columns=cols, valid=valid)})
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 4))
+def _run_plan_consts(plan, agg_capacity: int, rel: str,
+                     chunks: list[Batch], const_names: tuple[str, ...],
+                     const_vals: jax.Array):
+    """Run the plan over device-resident chunks with per-chunk CONSTANT
+    columns synthesized in HBM (e.g. q12's processing-time stamp — the
+    reference appends a now() column per payload, global.rs:161-307; here the
+    arrival epoch is a traced scalar broadcast on device, so no per-row data
+    moves at all)."""
+    cols = {}
+    for c in chunks[0].columns:
+        cols[c] = jnp.concatenate([ch.columns[c] for ch in chunks])
+    for j, name in enumerate(const_names):
+        cols[name] = jnp.concatenate([
+            jnp.full((ch.valid.shape[0],), const_vals[i, j], jnp.int32)
+            for i, ch in enumerate(chunks)])
+    valid = jnp.concatenate([ch.valid for ch in chunks])
+    return compile_plan(plan, agg_capacity)(
+        {rel: Batch(columns=cols, valid=valid)})
 
 
 @partial(jax.jit, static_argnums=(0, 1))
@@ -109,6 +157,66 @@ class LocalExecutor:
         static capacity was exceeded.
         """
         return self.execute_batches(self.prepare_window(tables, capacities))
+
+    def stage_chunk(self, cols: dict[str, np.ndarray], capacity: int | None = None
+                    ) -> Batch:
+        """One epoch's columns → a device-resident Batch (explicit transfer;
+        implicit host-array arguments crawl through remote control paths)."""
+        n = len(next(iter(cols.values()))) if cols else 0
+        cap = capacity or max(_pow2_bucket(n), 128)
+        return jax.device_put(Batch.from_numpy(cols, cap))
+
+    def execute_labeled(self, chunks: list[Batch], labels: list[np.ndarray],
+                        lives: list[np.ndarray], agg_capacity: int,
+                        check_overflow: bool = True) -> Batch:
+        """Run the plan over staged chunks + per-row session labels (padded
+        host arrays are transferred explicitly — 5 bytes/row)."""
+        dl, dv = [], []
+        for ch, lab, lv in zip(chunks, labels, lives):
+            pad = ch.valid.shape[0] - len(lab)
+            dl.append(np.pad(lab, (0, pad), mode="edge") if pad else lab)
+            dv.append(np.pad(lv, (0, pad)) if pad else lv)
+        dl = jax.device_put(dl)
+        dv = jax.device_put(dv)
+        METRICS.count(f"q{self.spec.number}.windows")
+        METRICS.count(f"q{self.spec.number}.rows_in",
+                      sum(ch.valid.shape[0] for ch in chunks))
+        with METRICS.timer(f"q{self.spec.number}.execute_s"):
+            out, overflow = _run_plan_labeled(
+                self.spec.plan, agg_capacity, self._driving_relation(),
+                chunks, dl, dv)
+        if check_overflow and bool(overflow):
+            raise OverflowError(
+                f"q{self.spec.number}: labeled capacity exceeded "
+                f"(agg={agg_capacity})")
+        return out
+
+    def execute_consts(self, chunks: list[Batch], const_cols: dict[str, list],
+                       agg_capacity: int, check_overflow: bool = True
+                       ) -> Batch:
+        """Run the plan over staged chunks + per-chunk constant int32 columns
+        (synthesized on device from traced scalars)."""
+        names = tuple(sorted(const_cols))
+        vals = np.asarray([[const_cols[nm][i] for nm in names]
+                           for i in range(len(chunks))], np.int32)
+        METRICS.count(f"q{self.spec.number}.windows")
+        METRICS.count(f"q{self.spec.number}.rows_in",
+                      sum(ch.valid.shape[0] for ch in chunks))
+        with METRICS.timer(f"q{self.spec.number}.execute_s"):
+            out, overflow = _run_plan_consts(
+                self.spec.plan, agg_capacity, self._driving_relation(),
+                chunks, names, jax.device_put(vals))
+        if check_overflow and bool(overflow):
+            raise OverflowError(
+                f"q{self.spec.number}: const-epoch capacity exceeded "
+                f"(agg={agg_capacity})")
+        return out
+
+    def _driving_relation(self) -> str:
+        rels = [r for r in self.spec.relations if r != "side_input"]
+        if len(rels) != 1:
+            raise ValueError("chunked execution needs one driving relation")
+        return rels[0]
 
     def execute_epochs(self, epoch_tables: list[dict[str, Batch]],
                        static_tables: dict[str, Batch] | None = None,

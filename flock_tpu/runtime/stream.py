@@ -23,7 +23,7 @@ Window semantics mirrored from the reference:
 from __future__ import annotations
 
 from collections import defaultdict
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -83,30 +83,7 @@ def generate_epochs(seconds: int, events_per_second: int, generators: int = 1
     return epochs
 
 
-def sessions_to_batch(closed, sid0: int) -> dict:
-    """Closed sessions → one bid table with globally unique __session ids
-    (the reference ships whole sessions to an aggregator the same way, one
-    window per session key, session.rs:245-263).
-
-    One concatenate per column over the flattened fragment list + one
-    ``np.repeat`` for the ids — no per-fragment python work."""
-    frag_lists = [frags for _, frags in closed]
-    flat = [f for frags in frag_lists for f in frags]
-    sids = np.repeat(
-        np.arange(sid0, sid0 + len(closed), dtype=np.int32),
-        [sum(len(f["bidder"]) for f in frags) for frags in frag_lists])
-    cols = {k: np.concatenate([f[k] for f in flat]) for k in flat[0]}
-    cols["__session"] = sids
-    return cols
-
-
-def _bucket_cap(n: int) -> int:
-    """Power-of-two capacity bucket: per-epoch batches reuse a handful of
-    compiled programs instead of one compile per distinct row count."""
-    c = 128
-    while c < n:
-        c *= 2
-    return c
+from flock_tpu.runtime.executor import _pow2_bucket as _bucket_cap
 
 
 @dataclass
@@ -116,12 +93,67 @@ class WindowResult:
 
 
 @dataclass
+class _Chunk:
+    """One epoch's rows retained on the host while sessions stay open.
+    ``staged`` optionally holds the same rows as a device-resident Batch
+    (set by the local driver's device emission path; rows are then never
+    re-shipped — only labels travel at emission time)."""
+
+    cid: int            # absolute chunk counter (session start markers)
+    cols: dict          # host columns, arrival order
+    bidders: np.ndarray # int64 view of the session-key column
+    live: int           # rows still belonging to open sessions
+    staged: object = None
+
+
+@dataclass
+class Emission:
+    """Sessions closed by one ``advance``/``flush`` call.
+
+    ``bidders[i]`` is session label i's key; ``parts`` lists, per retained
+    chunk holding emitted rows: (chunk, labels int32[rows], live bool[rows]).
+    Labels are a monotone compression of the key column (dead rows carry
+    their insertion rank), so blocked-locality aggregation works unsorted."""
+
+    bidders: np.ndarray
+    parts: list
+    t: int
+
+    @property
+    def n_sessions(self) -> int:
+        return len(self.bidders)
+
+    @property
+    def n_rows(self) -> int:
+        return sum(int(lv.sum()) for _, __, lv in self.parts)
+
+    def to_batch(self, sid0: int = 0) -> dict:
+        """Host-materialized emitted rows with a ``__session`` id column
+        (the generic form fed to arbitrary executors)."""
+        idxs = [(ch, np.flatnonzero(lv), lab) for ch, lab, lv in self.parts]
+        cols = {c: np.concatenate([ch.cols[c][ix] for ch, ix, _ in idxs])
+                for c in self.parts[0][0].cols}
+        cols["__session"] = np.concatenate(
+            [lab[ix] for _, ix, lab in idxs]).astype(np.int32) + sid0
+        return cols
+
+
+_SPAN_LIMIT = 1 << 24  # dense key-table fallback threshold (64MB of int64)
+
+
 class SessionState:
-    """Session-window bookkeeping (q11): per-bidder open windows.
+    """Session-window bookkeeping (q11): per-bidder open windows, fully
+    vectorized (no per-bidder host loop).
 
     Reference counterpart: window/session.rs:64-178 — a fragment more than
     ``gap`` seconds (second-truncated) after its window's last row closes the
     window; idle windows time out as epochs advance.
+
+    Open-session state is three aligned vectors over the sorted open-key set
+    (last row second, session start chunk) plus the retained row chunks.
+    Per-epoch statistics use dense key-span scatter tables (NEXMark keys are
+    generated near a sliding frontier, so spans stay small — event.rs:171-184)
+    with an argsort fallback for sparse keys.
 
     The state is checkpointable: ``to_payloads``/``from_payloads`` serialize
     the open windows through the payload codec so a replacement worker resumes
@@ -129,84 +161,238 @@ class SessionState:
     state/s3.rs + actor.rs:391-413).
     """
 
-    gap: int
-    open_windows: dict = field(default_factory=dict)  # bidder → [fragments]
-    last_s: dict = field(default_factory=dict)        # bidder → last row sec
-    epoch: int = 0
+    key = "bidder"
+    time_col = "b_date_time"
 
-    def advance(self, bids: dict, t: int) -> list[tuple[tuple, list[dict]]]:
-        """Feed one epoch's bids; returns sessions closed by gap/timeout."""
-        emitted = []
-        gap, windows, last_s = self.gap, self.open_windows, self.last_s
-        if len(bids["bidder"]):
-            # per-bidder fragments, in bidder order (HashDiff analogue)
-            order = np.argsort(bids["bidder"], kind="stable")
-            sb = {k: v[order] for k, v in bids.items()}
-            keys = list(sb)
-            vals = [sb[k] for k in keys]
-            uniq, starts = np.unique(sb["bidder"], return_index=True)
-            bounds = np.append(starts, len(sb["bidder"]))
-            # python scalars hoisted out of the per-bidder loop (np scalar
-            # indexing per bidder is ~10x the cost of a list lookup)
-            first_sec = (sb["b_date_time"][starts] // 1000).tolist()
-            frag_last = (sb["b_date_time"][bounds[1:] - 1] // 1000).tolist()
-            blist = bounds.tolist()
-            for i, bidder in enumerate(uniq.tolist()):
-                lo, hi = blist[i], blist[i + 1]
-                frag = {k: v[lo:hi] for k, v in zip(keys, vals)}
-                prev = windows.get(bidder)
-                if prev is not None:
-                    if first_sec[i] - last_s[bidder] > gap:
-                        emitted.append((("session", bidder, t), prev))
-                        windows[bidder] = [frag]
-                    else:
-                        prev.append(frag)
-                else:
-                    windows[bidder] = [frag]
-                last_s[bidder] = frag_last[i]
+    def __init__(self, gap: int):
+        self.gap = gap
+        self.chunks: list[_Chunk] = []
+        self.ob = np.empty(0, np.int64)         # open session keys, sorted
+        self.last_s = np.empty(0, np.int64)     # last row second per key
+        self.start_cid = np.empty(0, np.int64)  # chunk id the session opened at
+        self.next_cid = 0
+        self.epoch = 0
+
+    # -- internals -------------------------------------------------------------
+
+    @staticmethod
+    def _per_key_stats(keys: np.ndarray, secs: np.ndarray):
+        """(uniq sorted keys, first row second, last row second) per key.
+        Rows arrive time-ordered within an epoch, so first/last occurrence
+        equals min/max; dense scatter tables make this O(n) without a sort."""
+        kmin = int(keys.min())
+        span = int(keys.max()) - kmin + 1
+        n = len(keys)
+        if span <= max(64 * n, _SPAN_LIMIT):
+            pos = keys - kmin
+            last = np.full(span, -1, np.int64)
+            last[pos] = secs
+            first = np.empty(span, np.int64)
+            first[pos[::-1]] = secs[::-1]
+            off = np.flatnonzero(last >= 0)
+            return off + kmin, first[off], last[off]
+        order = np.argsort(keys, kind="stable")
+        sk, ss = keys[order], secs[order]
+        uniq, starts = np.unique(sk, return_index=True)
+        ends = np.append(starts[1:], n) - 1
+        return uniq, ss[starts], ss[ends]
+
+    def _emit_parts(self, closed: np.ndarray, starts: np.ndarray,
+                    chunks: list[_Chunk], consume: bool = True) -> list:
+        """Per-chunk (labels, live) for the rows of the ``closed`` sessions.
+        ``starts`` carries each closed session's start chunk id — rows in
+        older chunks belong to previously-emitted sessions of the same key
+        and stay dead."""
+        k = len(closed)
+        cmin = int(closed.min())
+        cspan = int(closed.max()) - cmin + 1
+        dense = cspan <= max(64 * k, _SPAN_LIMIT)
+        if dense:
+            flag = np.zeros(cspan, bool)
+            flag[closed - cmin] = True
+            # closed keys → label; other keys → insertion rank (monotone,
+            # in-range keys for the blocked aggregation's locality window)
+            rank = (np.cumsum(flag) - flag).astype(np.int32)
+            stab = np.full(cspan, np.iinfo(np.int64).max, np.int64)
+            stab[closed - cmin] = starts
+        parts = []
+        for ch in chunks:
+            if ch.live == 0:
+                continue
+            cb = ch.bidders
+            if dense:
+                p = cb - cmin
+                inr = (p >= 0) & (p < cspan)
+                pc = np.where(inr, p, 0)
+                lab = np.minimum(rank[pc], k - 1)
+                live = inr & flag[pc] & (stab[pc] <= ch.cid)
+            else:
+                ix = np.searchsorted(closed, cb)
+                ixc = np.minimum(ix, k - 1)
+                lab = ixc.astype(np.int32)
+                live = (closed[ixc] == cb) & (starts[ixc] <= ch.cid)
+            cnt = int(live.sum())
+            if cnt == 0:
+                continue
+            parts.append((ch, lab, live))
+            if consume:
+                ch.live -= cnt
+        return parts
+
+    # -- epoch advance ---------------------------------------------------------
+
+    def advance(self, bids: dict, t: int, staged=None) -> Emission | None:
+        """Feed one epoch's rows; returns the sessions closed by gap/timeout
+        (as an Emission over the retained chunks) or None."""
+        groups: list[tuple[np.ndarray, list]] = []
+        n = len(bids[self.key])
+        if n:
+            keys = np.asarray(bids[self.key]).astype(np.int64, copy=False)
+            secs = np.asarray(bids[self.time_col]) // 1000
+            uniq, first_sec, last_sec = self._per_key_stats(keys, secs)
+            if len(self.ob):
+                ix = np.searchsorted(self.ob, uniq)
+                ixc = np.minimum(ix, len(self.ob) - 1)
+                found = (ix < len(self.ob)) & (self.ob[ixc] == uniq)
+                gap_close = found & (first_sec - self.last_s[ixc] > self.gap)
+            else:
+                found = np.zeros(len(uniq), bool)
+                gap_close = found
+            if gap_close.any():
+                closed1 = uniq[gap_close]
+                starts1 = self.start_cid[ixc[gap_close]]
+                # rows of the closing (old) sessions live in chunks BEFORE
+                # this epoch's — emit before appending the new chunk
+                groups.append((closed1,
+                               self._emit_parts(closed1, starts1, self.chunks)))
+            cid = self.next_cid
+            self.next_cid += 1
+            self.chunks.append(_Chunk(
+                cid=cid, cols={c: np.asarray(v) for c, v in bids.items()},
+                bidders=keys, live=n, staged=staged))
+            # merge the open set: epoch keys update last_s; fresh keys (new or
+            # gap-reopened) start a session at this chunk
+            ob2 = np.union1d(self.ob, uniq)
+            last2 = np.empty(len(ob2), np.int64)
+            start2 = np.empty(len(ob2), np.int64)
+            if len(self.ob):
+                po = np.searchsorted(ob2, self.ob)
+                last2[po] = self.last_s
+                start2[po] = self.start_cid
+            pn = np.searchsorted(ob2, uniq)
+            last2[pn] = last_sec
+            fresh = ~found | gap_close
+            start2[pn[fresh]] = cid
+            self.ob, self.last_s, self.start_cid = ob2, last2, start2
         # timeout scan (session.rs:136-178): epoch time vs last row time
         now_s = NexmarkConfig().base_time // 1000 + (t + 1)
-        cutoff = now_s - gap
-        for bidder in [b for b, s in last_s.items() if s < cutoff]:
-            emitted.append((("session", bidder, t), windows.pop(bidder)))
-            del last_s[bidder]
+        cutoff = now_s - self.gap
+        to = self.last_s < cutoff
+        if to.any():
+            closed2 = self.ob[to]
+            groups.append((closed2,
+                           self._emit_parts(closed2, self.start_cid[to],
+                                            self.chunks)))
+            keep = ~to
+            self.ob = self.ob[keep]
+            self.last_s = self.last_s[keep]
+            self.start_cid = self.start_cid[keep]
         self.epoch = t + 1
-        return emitted
+        self.chunks = [c for c in self.chunks if c.live > 0]
+        return self._merge_groups(groups, t)
 
-    def flush(self, seconds: int) -> list[tuple[tuple, list[dict]]]:
+    @staticmethod
+    def _merge_groups(groups, t) -> Emission | None:
+        groups = [g for g in groups if len(g[0])]
+        if not groups:
+            return None
+        parts, bidders, off = [], [], 0
+        for closed, prts in groups:
+            parts.extend((ch, lab + np.int32(off), lv) for ch, lab, lv in prts)
+            bidders.append(closed)
+            off += len(closed)
+        return Emission(np.concatenate(bidders), parts, t)
+
+    def flush(self, seconds: int) -> Emission | None:
         """Close remaining sessions at stream end (bounded-run semantics)."""
-        out = [(("session", b, seconds), f)
-               for b, f in self.open_windows.items()]
-        self.open_windows.clear()
-        self.last_s.clear()
-        return out
+        if not len(self.ob):
+            return None
+        parts = self._emit_parts(self.ob, self.start_cid, self.chunks)
+        em = Emission(self.ob, parts, seconds)
+        self.ob = np.empty(0, np.int64)
+        self.last_s = np.empty(0, np.int64)
+        self.start_cid = np.empty(0, np.int64)
+        self.chunks = []
+        return em
 
-    # -- checkpoint / resume --------------------------------------------------
+    def compact(self, max_chunks: int, restage=None) -> None:
+        """Bound retained-chunk count (and device buffers/compile signatures)
+        by merging live rows into one chunk when long-lived sessions pile up
+        epochs (the granule-packing analogue, window/mod.rs:29-56)."""
+        if len(self.chunks) <= max_chunks or not len(self.ob):
+            return
+        parts = self._emit_parts(self.ob, self.start_cid, self.chunks,
+                                 consume=False)
+        idxs = [(ch, np.flatnonzero(lv)) for ch, _, lv in parts]
+        cols = {c: np.concatenate([ch.cols[c][ix] for ch, ix in idxs])
+                for c in self.chunks[0].cols}
+        keys = cols[self.key].astype(np.int64, copy=False)
+        cid = self.next_cid
+        self.next_cid += 1
+        merged = _Chunk(cid=cid, cols=cols, bidders=keys, live=len(keys),
+                        staged=restage(cols) if restage else None)
+        self.chunks = [merged]
+
+    # -- checkpoint / resume ---------------------------------------------------
 
     def to_payloads(self, qid: str):
         from flock_tpu.runtime.payload import FragmentId, Payload
 
+        if not len(self.ob):
+            return []
+        parts = self._emit_parts(self.ob, self.start_cid, self.chunks,
+                                 consume=False)
+        idxs = [(ch, np.flatnonzero(lv)) for ch, _, lv in parts]
+        cols = {c: np.concatenate([ch.cols[c][ix] for ch, ix in idxs])
+                for c in self.chunks[0].cols}
+        keys = cols[self.key].astype(np.int64, copy=False)
+        # group rows per key, chunk (=time) order preserved within key
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        bounds = np.flatnonzero(np.diff(sk)) + 1
+        splits = np.concatenate([[0], bounds, [len(sk)]])
+        uniq = sk[splits[:-1]]
         out = []
-        items = sorted(self.open_windows.items())
-        for i, (bidder, frags) in enumerate(items):
-            cols = {k: np.concatenate([f[k] for f in frags])
-                    for k in frags[0]}
+        for i, bidder in enumerate(uniq.tolist()):
+            sel = order[splits[i]:splits[i + 1]]
             out.append(Payload(
-                FragmentId(qid, i, len(items), shuffle_id=0),
-                cols, metadata={"bidder": int(bidder), "epoch": self.epoch}))
+                FragmentId(qid, i, len(uniq), shuffle_id=0),
+                {c: v[sel] for c, v in cols.items()},
+                metadata={"bidder": int(bidder), "epoch": self.epoch}))
         return out
 
     @classmethod
     def from_payloads(cls, gap: int, payloads) -> "SessionState":
         st = cls(gap=gap)
-        for p in payloads:
-            bidder = p.metadata["bidder"]
-            st.open_windows[bidder] = [dict(p.columns)]
-            # fragments are time-ordered, so the restored window's last row
-            # second is the tail of b_date_time — the open_windows/last_s
-            # invariant must hold on resume or advance/timeout break
-            st.last_s[bidder] = int(p.columns["b_date_time"][-1]) // 1000
-            st.epoch = max(st.epoch, p.metadata["epoch"])
+        payloads = list(payloads)
+        if not payloads:
+            return st
+        bidders = np.array([p.metadata["bidder"] for p in payloads], np.int64)
+        # fragments are time-ordered, so the restored window's last row
+        # second is the tail of its time column — the open-set/last_s
+        # invariant must hold on resume or gap/timeout logic breaks
+        last = np.array([int(p.columns[cls.time_col][-1]) // 1000
+                         for p in payloads], np.int64)
+        order = np.argsort(bidders)
+        st.ob = bidders[order]
+        st.last_s = last[order]
+        st.start_cid = np.zeros(len(payloads), np.int64)
+        cols = {c: np.concatenate([p.columns[c] for p in payloads])
+                for c in payloads[0].columns}
+        keys = cols[cls.key].astype(np.int64, copy=False)
+        st.chunks = [_Chunk(cid=0, cols=cols, bidders=keys, live=len(keys))]
+        st.next_cid = 1
+        st.epoch = max(p.metadata["epoch"] for p in payloads)
         return st
 
 
@@ -360,52 +546,105 @@ class StreamDriver:
 
     # -- session windows (q11) ------------------------------------------------
 
+    def _needed_cols(self, bid: dict, extra: tuple[str, ...] = ()) -> dict:
+        """Project an input table down to the columns the plan (or the window
+        bookkeeping) actually reads — DataFusion-style projection pushdown,
+        applied before rows are staged in HBM."""
+        from flock_tpu.plan import referenced_columns
+
+        refs = referenced_columns(self.spec.plan)
+        if refs is None:
+            return bid
+        keep = refs | set(self.spec.schema.names) | set(extra)
+        return {k: v for k, v in bid.items() if k in keep}
+
+    MAX_CHUNKS = 8
+
     def _run_session(self, epochs) -> list[WindowResult]:
         """STREAMING session windows: sessions closed by gap/timeout are
         executed and emitted per epoch (the reference's per-epoch session
-        drain, flock-function/src/aws/window/session.rs:136-178).  Host
-        state is bounded by the OPEN sessions; nothing accumulates for the
-        run's whole length.  Remaining sessions flush at stream end."""
+        drain, flock-function/src/aws/window/session.rs:136-178).
+
+        TPU-native dataflow: each epoch's (projected) rows are staged in HBM
+        exactly once; the host keeps only vectorized per-key bookkeeping, and
+        an emission ships 5 bytes/row of labels — closed sessions are
+        assembled and aggregated entirely on device.  Host state stays bounded
+        by the OPEN sessions (chunks compact past MAX_CHUNKS); remaining
+        sessions flush at stream end."""
         state = SessionState(gap=self.spec.window[1])
+        key, tcol = SessionState.key, SessionState.time_col
         out: list[WindowResult] = []
-        sid = 0
         t = -1
         for t, tables in enumerate(epochs):
-            closed = state.advance(tables["bid"], t)
-            if closed:
-                bid = sessions_to_batch(closed, sid)
-                sid += len(closed)
-                caps = {"bid": _bucket_cap(len(bid["bidder"]))}
-                out.append(self._execute_retry(
-                    ("sessions", t), {"bid": bid}, caps))
-        closed = state.flush(t + 1)
-        if closed:
-            bid = sessions_to_batch(closed, sid)
-            caps = {"bid": _bucket_cap(len(bid["bidder"]))}
-            out.append(self._execute_retry(
-                ("sessions", t + 1), {"bid": bid}, caps))
+            bid = self._needed_cols(tables["bid"], extra=(key, tcol))
+            n = len(bid[key])
+            staged = self.executor.stage_chunk(bid) if n else None
+            em = state.advance(bid, t, staged=staged) if n or len(state.ob) \
+                else None
+            if em is not None:
+                out.append(self._exec_emission(em))
+            state.compact(self.MAX_CHUNKS, restage=self.executor.stage_chunk)
+        em = state.flush(t + 1)
+        if em is not None:
+            out.append(self._exec_emission(em))
         return out
+
+    def _exec_emission(self, em: Emission) -> WindowResult:
+        from flock_tpu.runtime.executor import OverflowError
+
+        chunks = [ch.staged for ch, _, __ in em.parts]
+        labels = [lab for _, lab, __ in em.parts]
+        lives = [lv for _, __, lv in em.parts]
+        agg_cap = max(_bucket_cap(em.n_sessions), 128)
+        for attempt in range(6):
+            try:
+                b = self.executor.execute_labeled(chunks, labels, lives,
+                                                  agg_cap)
+                break
+            except OverflowError:
+                if attempt == 5:
+                    raise
+                agg_cap *= 4
+        return WindowResult(("sessions", em.t), self.executor.materialize(b))
 
     # -- processing-time windows (q12) ---------------------------------------
 
     def _run_global(self, epochs) -> list[WindowResult]:
         """STREAMING processing-time windows: each w-epoch arrival window
-        executes as soon as it completes; only the current window's epochs
-        are held on host (global.rs:161-307)."""
+        executes as soon as it completes; only the current window's staged
+        chunks are held (global.rs:161-307).  The processing-time column is
+        synthesized ON DEVICE from the arrival epoch (a traced scalar per
+        chunk), so zero per-row data moves at emission time; the grouped
+        aggregation is sized to the window's observed key span."""
+        from flock_tpu.config import CONFIG
+        from flock_tpu.runtime.executor import OverflowError
+
         w = self.spec.window[1]
+        rel = self.executor._driving_relation()
         out: list[WindowResult] = []
-        pending: list[dict] = []
+        pending: list[tuple] = []  # (t, staged Batch, key_min, key_max)
         start = 0
 
         def emit(start: int) -> WindowResult | None:
             if not pending:
                 return None
-            cols = {k: np.concatenate([p[k] for p in pending])
-                    for k in pending[0]}
+            chunks = [b for _, b, __, ___ in pending]
+            p_times = [tt * 1000 for tt, _, __, ___ in pending]
+            span = (max(mx for *_, mx in pending)
+                    - min(mn for _, __, mn, ___ in pending) + 1)
+            agg_cap = _bucket_cap(span + CONFIG.agg_span_margin)
             pending.clear()
-            caps = {"bid": _bucket_cap(len(cols["bidder"]))}
-            return self._execute_retry(
-                ("ptime", start, start + w), {"bid": cols}, caps)
+            for attempt in range(6):
+                try:
+                    b = self.executor.execute_consts(
+                        chunks, {"p_time": p_times}, agg_cap)
+                    break
+                except OverflowError:
+                    if attempt == 5:
+                        raise
+                    agg_cap *= 4
+            return WindowResult(("ptime", start, start + w),
+                                self.executor.materialize(b))
 
         t = -1
         for t, tables in enumerate(epochs):
@@ -414,9 +653,13 @@ class StreamDriver:
                 if r is not None:
                     out.append(r)
                 start = t
-            bid = dict(tables["bid"])
-            bid["p_time"] = np.full(len(bid["bidder"]), t * 1000, np.int32)
-            pending.append(bid)
+            bid = self._needed_cols(tables[rel])
+            bid.pop("p_time", None)
+            keys = bid["bidder"]
+            if not len(keys):
+                continue
+            pending.append((t, self.executor.stage_chunk(bid),
+                            int(keys.min()), int(keys.max())))
         r = emit(start)
         if r is not None:
             out.append(r)

@@ -9,11 +9,23 @@ from flock_tpu.runtime.state import FileStateBackend
 from flock_tpu.runtime.stream import SessionState, generate_epochs
 
 
+def _session_rows(cols):
+    """Emitted batch → [(bidder, count, min_time, max_time)] per session."""
+    sid = cols["__session"]
+    rows = []
+    for s in np.unique(sid):
+        m = sid == s
+        times = cols["b_date_time"][m]
+        rows.append((int(cols["bidder"][m][0]), int(m.sum()),
+                     int(times.min()), int(times.max())))
+    return rows
+
+
 def _run_sessions(epochs, gap=10, split_at=None, backend=None, qid="ck"):
     """Run sessionization; optionally checkpoint at split_at and resume into a
     fresh SessionState (simulating a worker replacement)."""
     st = SessionState(gap=gap)
-    emitted = []
+    rows = []
     for t, tables in enumerate(epochs):
         if split_at is not None and t == split_at:
             # checkpoint → "crash" → restore in a new instance
@@ -22,12 +34,12 @@ def _run_sessions(epochs, gap=10, split_at=None, backend=None, qid="ck"):
             seqs = backend.list_seqs(qid, 0, 0)
             st = SessionState.from_payloads(
                 gap, [backend.read(qid, 0, 0, s) for s in seqs])
-        emitted += st.advance(tables["bid"], t)
-    emitted += st.flush(len(epochs))
-    rows = []
-    for (_, bidder, _t), frags in emitted:
-        times = np.concatenate([f["b_date_time"] for f in frags])
-        rows.append((bidder, len(times), int(times.min()), int(times.max())))
+        em = st.advance(tables["bid"], t)
+        if em is not None:
+            rows += _session_rows(em.to_batch())
+    em = st.flush(len(epochs))
+    if em is not None:
+        rows += _session_rows(em.to_batch())
     return sorted(rows)
 
 
@@ -64,11 +76,13 @@ def test_session_timeout_after_resume(tmp_path):
                             backend=FileStateBackend(root=str(tmp_path)))
     assert direct == resumed == [(42, 2, base, base + 500)]
 
-    # the emission tag records the CLOSE epoch: by timeout, not end-of-stream
+    # the emission records the CLOSE epoch: by timeout, not end-of-stream
     st = SessionState(gap=3)
     emitted = []
     for t, tables in enumerate(epochs):
-        emitted += st.advance(tables["bid"], t)
-    assert emitted and emitted[0][0][2] < len(epochs)
-    assert not st.open_windows and not st.last_s
-    assert st.flush(len(epochs)) == []
+        em = st.advance(tables["bid"], t)
+        if em is not None:
+            emitted.append(em)
+    assert emitted and emitted[0].t < len(epochs)
+    assert not len(st.ob) and not st.chunks
+    assert st.flush(len(epochs)) is None

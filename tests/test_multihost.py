@@ -64,3 +64,29 @@ def test_two_process_multihost_matches_single_process(tmp_path, qnum):
         tuple(map(str, (np.asarray(res.columns[n])[i] for n in names)))
         for res in dist for i in range(len(np.asarray(res.columns[names[0]]))))
     assert rows[0] == expect
+
+
+def test_two_process_multihost_cli():
+    """The DOCUMENTED pod command (parallel/multihost.py:13) works: two
+    processes run ``nexmark run -q 4 --distributed --multihost`` through the
+    real CLI and agree on the output row count."""
+    port = free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(HERE, "multihost_cli_worker.py"),
+         str(pid), str(port), "4"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env={k: v for k, v in os.environ.items()
+             if k not in ("XLA_FLAGS", "JAX_PLATFORMS")})
+        for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"CLI worker failed:\n{out[-3000:]}"
+    # process 0 prints the summary line with the global row count
+    assert "q4 multihost: 2 process(es)" in outs[0] + outs[1]
