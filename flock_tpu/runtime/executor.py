@@ -60,20 +60,29 @@ def _run_plan_stacked(plan, agg_capacity: int, stacked: dict[str, Batch]):
     return jax.lax.map(fn, stacked)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
-def _run_plan_labeled(plan, agg_capacity: int, rel: str,
-                      chunks: list[Batch], labels: list, lives: list):
-    """Run the plan over device-RESIDENT chunks with host-computed session
-    labels: the emitted "table" is assembled in HBM from rows staged once per
-    epoch plus per-row int32 labels — the only per-emission transfer.  This is
-    the TPU-native replacement for re-shipping session windows to an
-    aggregator (the reference re-invokes with whole windows in the payload,
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _run_plan_session_tables(plan, agg_capacity: int, rel: str, key: str,
+                             span_bucket: int, chunks: list[Batch],
+                             rank_tab, ok_tab, end_tab, cmin, k, cids):
+    """Run the plan over device-RESIDENT chunks, labeling and filtering the
+    rows ON DEVICE from three O(key-span) tables: rank_tab (key → session
+    label, monotone), ok_tab/end_tab (session's [start, end) chunk range).
+    Per-emission transfer is the tables (~KB), not the rows — the TPU-native
+    replacement for re-shipping session windows to an aggregator (the
+    reference re-invokes with whole windows in the payload,
     window/session.rs:245-263)."""
     cols = {}
     for c in chunks[0].columns:
         cols[c] = jnp.concatenate([ch.columns[c] for ch in chunks])
-    cols["__session"] = jnp.concatenate(labels)
-    valid = jnp.concatenate([ch.valid & lv for ch, lv in zip(chunks, lives)])
+    labs, valids = [], []
+    for i, ch in enumerate(chunks):
+        b = ch.columns[key]
+        p = jnp.clip(b - cmin, 0, span_bucket - 1)
+        labs.append(jnp.minimum(rank_tab[p], k - 1))
+        valids.append(ch.valid & (b >= cmin)
+                      & (ok_tab[p] <= cids[i]) & (cids[i] < end_tab[p]))
+    cols["__session"] = jnp.concatenate(labs)
+    valid = jnp.concatenate(valids)
     return compile_plan(plan, agg_capacity)(
         {rel: Batch(columns=cols, valid=valid)})
 
@@ -166,28 +175,28 @@ class LocalExecutor:
         cap = capacity or max(_pow2_bucket(n), 128)
         return jax.device_put(Batch.from_numpy(cols, cap))
 
-    def execute_labeled(self, chunks: list[Batch], labels: list[np.ndarray],
-                        lives: list[np.ndarray], agg_capacity: int,
-                        check_overflow: bool = True) -> Batch:
-        """Run the plan over staged chunks + per-row session labels (padded
-        host arrays are transferred explicitly — 5 bytes/row)."""
-        dl, dv = [], []
-        for ch, lab, lv in zip(chunks, labels, lives):
-            pad = ch.valid.shape[0] - len(lab)
-            dl.append(np.pad(lab, (0, pad), mode="edge") if pad else lab)
-            dv.append(np.pad(lv, (0, pad)) if pad else lv)
-        dl = jax.device_put(dl)
-        dv = jax.device_put(dv)
+    def execute_session_tables(self, chunks: list[Batch], key: str,
+                               tables: tuple, cids: np.ndarray,
+                               agg_capacity: int,
+                               check_overflow: bool = True) -> Batch:
+        """Run the plan over staged chunks; rows are labeled/filtered on
+        device from the emission's dense tables (see
+        ``_run_plan_session_tables``)."""
+        rank_tab, ok_tab, end_tab, cmin, k = tables
+        span_bucket = len(rank_tab)
+        dev = jax.device_put((rank_tab, ok_tab, end_tab,
+                              np.int32(cmin), np.int32(k),
+                              np.asarray(cids, np.int32)))
         METRICS.count(f"q{self.spec.number}.windows")
         METRICS.count(f"q{self.spec.number}.rows_in",
                       sum(ch.valid.shape[0] for ch in chunks))
         with METRICS.timer(f"q{self.spec.number}.execute_s"):
-            out, overflow = _run_plan_labeled(
+            out, overflow = _run_plan_session_tables(
                 self.spec.plan, agg_capacity, self._driving_relation(),
-                chunks, dl, dv)
+                key, span_bucket, chunks, *dev)
         if check_overflow and bool(overflow):
             raise OverflowError(
-                f"q{self.spec.number}: labeled capacity exceeded "
+                f"q{self.spec.number}: session capacity exceeded "
                 f"(agg={agg_capacity})")
         return out
 

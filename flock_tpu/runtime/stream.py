@@ -97,53 +97,160 @@ class _Chunk:
     """One epoch's rows retained on the host while sessions stay open.
     ``staged`` optionally holds the same rows as a device-resident Batch
     (set by the local driver's device emission path; rows are then never
-    re-shipped — only labels travel at emission time)."""
+    re-shipped — an emission transfers only two small dense label tables)."""
 
-    cid: int            # absolute chunk counter (session start markers)
-    cols: dict          # host columns, arrival order
-    bidders: np.ndarray # int64 view of the session-key column
-    live: int           # rows still belonging to open sessions
+    cid: int             # absolute chunk counter (session start markers)
+    cols: dict           # host columns, arrival order
+    bidders: np.ndarray  # int64 view of the session-key column
+    kmin: int            # key range of this chunk (emission pre-filter)
+    kmax: int
     staged: object = None
 
 
-@dataclass
+_SPAN_LIMIT = 1 << 24  # dense key-table fallback threshold (64MB of int64)
+_NO_START = np.iinfo(np.int32).max
+_NO_END = np.iinfo(np.int32).max
+
+
+def _host_masks(closed: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                ch: _Chunk):
+    """(labels int32[rows], live bool[rows]) for one chunk against one closed
+    set.  Labels are a monotone compression of the key column (non-closed
+    keys carry their insertion rank), so blocked-locality aggregation works
+    over unsorted rows.  A row is live iff its key's session is closed AND
+    the session's chunk range [start, end) contains this chunk — rows outside
+    it belong to a previous or reopened session of the same key."""
+    k = len(closed)
+    cmin = int(closed.min())
+    cspan = int(closed.max()) - cmin + 1
+    cb = ch.bidders
+    if cspan <= max(64 * k, _SPAN_LIMIT):
+        flag = np.zeros(cspan, bool)
+        flag[closed - cmin] = True
+        rank = (np.cumsum(flag) - flag).astype(np.int32)
+        stab = np.full(cspan, np.iinfo(np.int64).max, np.int64)
+        stab[closed - cmin] = starts
+        etab = np.full(cspan, -1, np.int64)
+        etab[closed - cmin] = ends
+        p = cb - cmin
+        inr = (p >= 0) & (p < cspan)
+        pc = np.where(inr, p, 0)
+        lab = np.minimum(rank[pc], k - 1)
+        live = inr & flag[pc] & (stab[pc] <= ch.cid) & (ch.cid < etab[pc])
+    else:
+        ix = np.searchsorted(closed, cb)
+        ixc = np.minimum(ix, k - 1)
+        lab = ixc.astype(np.int32)
+        live = ((closed[ixc] == cb) & (starts[ixc] <= ch.cid)
+                & (ch.cid < ends[ixc]))
+    return lab, live
+
+
 class Emission:
-    """Sessions closed by one ``advance``/``flush`` call.
+    """Sessions closed by one ``advance``/``flush`` call — a LAZY description
+    (closed keys + per-session [start, end) chunk ranges + a chunk snapshot).
+    Realization is the consumer's choice:
 
-    ``bidders[i]`` is session label i's key; ``parts`` lists, per retained
-    chunk holding emitted rows: (chunk, labels int32[rows], live bool[rows]).
-    Labels are a monotone compression of the key column (dead rows carry
-    their insertion rank), so blocked-locality aggregation works unsorted."""
+    * ``dense_tables()`` — three small int32 tables (session rank, start
+      chunk, end chunk) the device program uses to label/filter HBM-resident
+      rows itself: per-emission transfer is O(key span), not O(rows);
+    * ``parts()``/``to_batch()`` — host-side per-row labels for the generic
+      executors (distributed row-sharding, tests, checkpoints)."""
 
-    bidders: np.ndarray
-    parts: list
-    t: int
+    def __init__(self, groups: list, chunks: list, t: int):
+        # group = (closed sorted, starts, ends) — ends bound gap-closed
+        # sessions away from the reopening epoch's chunk
+        groups = [g for g in groups if len(g[0])]
+        self.t = t
+        self.merged = None
+        if len(groups) == 1:
+            self.merged = groups[0]
+        elif groups:
+            allc = np.concatenate([g[0] for g in groups])
+            alls = np.concatenate([g[1] for g in groups])
+            alle = np.concatenate([g[2] for g in groups])
+            order = np.argsort(allc, kind="stable")
+            allc, alls, alle = allc[order], alls[order], alle[order]
+            if not np.any(allc[1:] == allc[:-1]):
+                self.merged = (allc, alls, alle)
+        self.groups = groups
+        lo = min(int(g[0].min()) for g in groups)
+        hi = max(int(g[0].max()) for g in groups)
+        min_start = min(int(g[1].min()) for g in groups)
+        self.chunks = [ch for ch in chunks
+                       if ch.cid >= min_start
+                       and ch.kmax >= lo and ch.kmin <= hi]
+
+    @property
+    def bidders(self) -> np.ndarray:
+        if self.merged is not None:
+            return self.merged[0]
+        return np.concatenate([g[0] for g in self.groups])
 
     @property
     def n_sessions(self) -> int:
-        return len(self.bidders)
+        return sum(len(g[0]) for g in self.groups)
+
+    def dense_tables(self, span_bucket: int):
+        """(rank_tab, ok_tab, end_tab, cmin, k) for the device labeling
+        program, or None when not expressible (duplicate keys across groups —
+        gap≈0 degenerate case — or key span ≥ span_bucket).
+        ``rank_tab[key-cmin]`` is the session label (monotone insertion rank
+        for non-closed keys); a row in chunk c is live iff
+        ok_tab ≤ c.cid < end_tab."""
+        if self.merged is None:
+            return None
+        closed, starts, ends = self.merged
+        cmin = int(closed.min())
+        span = int(closed.max()) - cmin + 1
+        if span >= span_bucket:
+            return None
+        flag = np.zeros(span_bucket, bool)
+        flag[closed - cmin] = True
+        rank = (np.cumsum(flag) - flag).astype(np.int32)
+        ok = np.full(span_bucket, _NO_START, np.int32)
+        ok[closed - cmin] = starts.astype(np.int32)
+        endt = np.zeros(span_bucket, np.int32)
+        endt[closed - cmin] = np.minimum(ends, _NO_END).astype(np.int32)
+        return rank, ok, endt, cmin, len(closed)
+
+    def parts(self):
+        """Host-side realization: (chunk, labels, live) per involved chunk,
+        with labels offset per group so session ids stay unique."""
+        out, off = [], 0
+        for closed, starts, ends in self.groups:
+            for ch in self.chunks:
+                if ch.kmax < closed.min() or ch.kmin > closed.max() \
+                        or ch.cid < starts.min():
+                    continue
+                lab, live = _host_masks(closed, starts, ends, ch)
+                if live.any():
+                    out.append((ch, lab + np.int32(off), live))
+            off += len(closed)
+        return out
 
     @property
     def n_rows(self) -> int:
-        return sum(int(lv.sum()) for _, __, lv in self.parts)
+        return sum(int(lv.sum()) for _, __, lv in self.parts())
 
     def to_batch(self, sid0: int = 0) -> dict:
         """Host-materialized emitted rows with a ``__session`` id column
         (the generic form fed to arbitrary executors)."""
-        idxs = [(ch, np.flatnonzero(lv), lab) for ch, lab, lv in self.parts]
+        parts = self.parts()
+        idxs = [(ch, np.flatnonzero(lv), lab) for ch, lab, lv in parts]
         cols = {c: np.concatenate([ch.cols[c][ix] for ch, ix, _ in idxs])
-                for c in self.parts[0][0].cols}
+                for c in parts[0][0].cols}
         cols["__session"] = np.concatenate(
             [lab[ix] for _, ix, lab in idxs]).astype(np.int32) + sid0
         return cols
 
 
-_SPAN_LIMIT = 1 << 24  # dense key-table fallback threshold (64MB of int64)
+_INF_END = np.iinfo(np.int64).max
 
 
 class SessionState:
     """Session-window bookkeeping (q11): per-bidder open windows, fully
-    vectorized (no per-bidder host loop).
+    vectorized (no per-bidder host loop, no per-row work on the hot path).
 
     Reference counterpart: window/session.rs:64-178 — a fragment more than
     ``gap`` seconds (second-truncated) after its window's last row closes the
@@ -153,7 +260,9 @@ class SessionState:
     (last row second, session start chunk) plus the retained row chunks.
     Per-epoch statistics use dense key-span scatter tables (NEXMark keys are
     generated near a sliding frontier, so spans stay small — event.rs:171-184)
-    with an argsort fallback for sparse keys.
+    with an argsort fallback for sparse keys.  Rows are never mutated:
+    exactly-once emission falls out of per-session [start, end) chunk ranges,
+    and chunks retire once no open session can reach them.
 
     The state is checkpointable: ``to_payloads``/``from_payloads`` serialize
     the open windows through the payload codec so a replacement worker resumes
@@ -197,54 +306,21 @@ class SessionState:
         ends = np.append(starts[1:], n) - 1
         return uniq, ss[starts], ss[ends]
 
-    def _emit_parts(self, closed: np.ndarray, starts: np.ndarray,
-                    chunks: list[_Chunk], consume: bool = True) -> list:
-        """Per-chunk (labels, live) for the rows of the ``closed`` sessions.
-        ``starts`` carries each closed session's start chunk id — rows in
-        older chunks belong to previously-emitted sessions of the same key
-        and stay dead."""
-        k = len(closed)
-        cmin = int(closed.min())
-        cspan = int(closed.max()) - cmin + 1
-        dense = cspan <= max(64 * k, _SPAN_LIMIT)
-        if dense:
-            flag = np.zeros(cspan, bool)
-            flag[closed - cmin] = True
-            # closed keys → label; other keys → insertion rank (monotone,
-            # in-range keys for the blocked aggregation's locality window)
-            rank = (np.cumsum(flag) - flag).astype(np.int32)
-            stab = np.full(cspan, np.iinfo(np.int64).max, np.int64)
-            stab[closed - cmin] = starts
-        parts = []
-        for ch in chunks:
-            if ch.live == 0:
-                continue
-            cb = ch.bidders
-            if dense:
-                p = cb - cmin
-                inr = (p >= 0) & (p < cspan)
-                pc = np.where(inr, p, 0)
-                lab = np.minimum(rank[pc], k - 1)
-                live = inr & flag[pc] & (stab[pc] <= ch.cid)
-            else:
-                ix = np.searchsorted(closed, cb)
-                ixc = np.minimum(ix, k - 1)
-                lab = ixc.astype(np.int32)
-                live = (closed[ixc] == cb) & (starts[ixc] <= ch.cid)
-            cnt = int(live.sum())
-            if cnt == 0:
-                continue
-            parts.append((ch, lab, live))
-            if consume:
-                ch.live -= cnt
-        return parts
+    def _prune_chunks(self) -> None:
+        """A chunk retires once every open session started after it — its
+        remaining rows all belong to already-emitted sessions."""
+        if not len(self.ob):
+            self.chunks = []
+            return
+        floor = int(self.start_cid.min())
+        self.chunks = [c for c in self.chunks if c.cid >= floor]
 
     # -- epoch advance ---------------------------------------------------------
 
     def advance(self, bids: dict, t: int, staged=None) -> Emission | None:
         """Feed one epoch's rows; returns the sessions closed by gap/timeout
-        (as an Emission over the retained chunks) or None."""
-        groups: list[tuple[np.ndarray, list]] = []
+        (as a lazy Emission over the retained chunks) or None."""
+        groups: list[tuple] = []
         n = len(bids[self.key])
         if n:
             keys = np.asarray(bids[self.key]).astype(np.int64, copy=False)
@@ -258,18 +334,19 @@ class SessionState:
             else:
                 found = np.zeros(len(uniq), bool)
                 gap_close = found
-            if gap_close.any():
-                closed1 = uniq[gap_close]
-                starts1 = self.start_cid[ixc[gap_close]]
-                # rows of the closing (old) sessions live in chunks BEFORE
-                # this epoch's — emit before appending the new chunk
-                groups.append((closed1,
-                               self._emit_parts(closed1, starts1, self.chunks)))
             cid = self.next_cid
             self.next_cid += 1
+            if gap_close.any():
+                # the closing (old) sessions END at this epoch's chunk: its
+                # rows belong to the reopened sessions
+                k1 = int(gap_close.sum())
+                groups.append((uniq[gap_close],
+                               self.start_cid[ixc[gap_close]],
+                               np.full(k1, cid, np.int64)))
             self.chunks.append(_Chunk(
                 cid=cid, cols={c: np.asarray(v) for c, v in bids.items()},
-                bidders=keys, live=n, staged=staged))
+                bidders=keys, kmin=int(keys.min()), kmax=int(keys.max()),
+                staged=staged))
             # merge the open set: epoch keys update last_s; fresh keys (new or
             # gap-reopened) start a session at this chunk
             ob2 = np.union1d(self.ob, uniq)
@@ -289,41 +366,38 @@ class SessionState:
         cutoff = now_s - self.gap
         to = self.last_s < cutoff
         if to.any():
-            closed2 = self.ob[to]
-            groups.append((closed2,
-                           self._emit_parts(closed2, self.start_cid[to],
-                                            self.chunks)))
+            groups.append((self.ob[to], self.start_cid[to],
+                           np.full(int(to.sum()), _INF_END, np.int64)))
             keep = ~to
             self.ob = self.ob[keep]
             self.last_s = self.last_s[keep]
             self.start_cid = self.start_cid[keep]
         self.epoch = t + 1
-        self.chunks = [c for c in self.chunks if c.live > 0]
-        return self._merge_groups(groups, t)
-
-    @staticmethod
-    def _merge_groups(groups, t) -> Emission | None:
-        groups = [g for g in groups if len(g[0])]
-        if not groups:
-            return None
-        parts, bidders, off = [], [], 0
-        for closed, prts in groups:
-            parts.extend((ch, lab + np.int32(off), lv) for ch, lab, lv in prts)
-            bidders.append(closed)
-            off += len(closed)
-        return Emission(np.concatenate(bidders), parts, t)
+        em = Emission(groups, list(self.chunks), t) if groups else None
+        self._prune_chunks()
+        return em
 
     def flush(self, seconds: int) -> Emission | None:
         """Close remaining sessions at stream end (bounded-run semantics)."""
         if not len(self.ob):
             return None
-        parts = self._emit_parts(self.ob, self.start_cid, self.chunks)
-        em = Emission(self.ob, parts, seconds)
+        em = Emission(
+            [(self.ob, self.start_cid,
+              np.full(len(self.ob), _INF_END, np.int64))],
+            list(self.chunks), seconds)
         self.ob = np.empty(0, np.int64)
         self.last_s = np.empty(0, np.int64)
         self.start_cid = np.empty(0, np.int64)
         self.chunks = []
         return em
+
+    def _live_row_indices(self):
+        ends = np.full(len(self.ob), _INF_END, np.int64)
+        idxs = []
+        for ch in self.chunks:
+            _, live = _host_masks(self.ob, self.start_cid, ends, ch)
+            idxs.append((ch, np.flatnonzero(live)))
+        return idxs
 
     def compact(self, max_chunks: int, restage=None) -> None:
         """Bound retained-chunk count (and device buffers/compile signatures)
@@ -331,15 +405,15 @@ class SessionState:
         epochs (the granule-packing analogue, window/mod.rs:29-56)."""
         if len(self.chunks) <= max_chunks or not len(self.ob):
             return
-        parts = self._emit_parts(self.ob, self.start_cid, self.chunks,
-                                 consume=False)
-        idxs = [(ch, np.flatnonzero(lv)) for ch, _, lv in parts]
+        idxs = self._live_row_indices()
         cols = {c: np.concatenate([ch.cols[c][ix] for ch, ix in idxs])
                 for c in self.chunks[0].cols}
         keys = cols[self.key].astype(np.int64, copy=False)
         cid = self.next_cid
         self.next_cid += 1
-        merged = _Chunk(cid=cid, cols=cols, bidders=keys, live=len(keys),
+        merged = _Chunk(cid=cid, cols=cols, bidders=keys,
+                        kmin=int(keys.min()) if len(keys) else 0,
+                        kmax=int(keys.max()) if len(keys) else -1,
                         staged=restage(cols) if restage else None)
         self.chunks = [merged]
 
@@ -350,9 +424,7 @@ class SessionState:
 
         if not len(self.ob):
             return []
-        parts = self._emit_parts(self.ob, self.start_cid, self.chunks,
-                                 consume=False)
-        idxs = [(ch, np.flatnonzero(lv)) for ch, _, lv in parts]
+        idxs = self._live_row_indices()
         cols = {c: np.concatenate([ch.cols[c][ix] for ch, ix in idxs])
                 for c in self.chunks[0].cols}
         keys = cols[self.key].astype(np.int64, copy=False)
@@ -390,7 +462,8 @@ class SessionState:
         cols = {c: np.concatenate([p.columns[c] for p in payloads])
                 for c in payloads[0].columns}
         keys = cols[cls.key].astype(np.int64, copy=False)
-        st.chunks = [_Chunk(cid=0, cols=cols, bidders=keys, live=len(keys))]
+        st.chunks = [_Chunk(cid=0, cols=cols, bidders=keys,
+                            kmin=int(keys.min()), kmax=int(keys.max()))]
         st.next_cid = 1
         st.epoch = max(p.metadata["epoch"] for p in payloads)
         return st
@@ -453,12 +526,13 @@ class StreamDriver:
         return sum(len(next(iter(cols.values()))) for cols in tables.values()
                    if cols)
 
-    def run(self, epochs: list[dict]) -> list[WindowResult]:
+    def run(self, epochs: list[dict],
+            prestaged: list | None = None) -> list[WindowResult]:
         kind = self.spec.window[0]
         if kind == "session":
-            return self._run_session(epochs)
+            return self._run_session(epochs, prestaged)
         if kind == "global":
-            return self._run_global(epochs)
+            return self._run_global(epochs, prestaged)
         if kind == "rows":
             return self._run_rows(epochs)
         return self._run_ranges(epochs)
@@ -560,17 +634,36 @@ class StreamDriver:
 
     MAX_CHUNKS = 8
 
-    def _run_session(self, epochs) -> list[WindowResult]:
+    def prestage(self, epochs) -> list:
+        """Stage each epoch's projected driving table in HBM ahead of the
+        run (the bench convention reports the feed separately; production
+        drivers stage as epochs arrive)."""
+        kind = self.spec.window[0]
+        out = []
+        for tables in epochs:
+            if kind == "session":
+                bid = self._needed_cols(
+                    tables["bid"],
+                    extra=(SessionState.key, SessionState.time_col))
+            else:
+                rel = self.executor._driving_relation()
+                bid = self._needed_cols(tables[rel])
+                bid.pop("p_time", None)
+            n = len(next(iter(bid.values()))) if bid else 0
+            out.append(self.executor.stage_chunk(bid) if n else None)
+        return out
+
+    def _run_session(self, epochs, prestaged=None) -> list[WindowResult]:
         """STREAMING session windows: sessions closed by gap/timeout are
         executed and emitted per epoch (the reference's per-epoch session
         drain, flock-function/src/aws/window/session.rs:136-178).
 
         TPU-native dataflow: each epoch's (projected) rows are staged in HBM
         exactly once; the host keeps only vectorized per-key bookkeeping, and
-        an emission ships 5 bytes/row of labels — closed sessions are
-        assembled and aggregated entirely on device.  Host state stays bounded
-        by the OPEN sessions (chunks compact past MAX_CHUNKS); remaining
-        sessions flush at stream end."""
+        an emission ships three O(key-span) label tables — closed sessions
+        are assembled and aggregated entirely on device.  Host state stays
+        bounded by the OPEN sessions (chunks compact past MAX_CHUNKS);
+        remaining sessions flush at stream end."""
         state = SessionState(gap=self.spec.window[1])
         key, tcol = SessionState.key, SessionState.time_col
         out: list[WindowResult] = []
@@ -578,7 +671,10 @@ class StreamDriver:
         for t, tables in enumerate(epochs):
             bid = self._needed_cols(tables["bid"], extra=(key, tcol))
             n = len(bid[key])
-            staged = self.executor.stage_chunk(bid) if n else None
+            staged = None
+            if n:
+                staged = prestaged[t] if prestaged is not None \
+                    else self.executor.stage_chunk(bid)
             em = state.advance(bid, t, staged=staged) if n or len(state.ob) \
                 else None
             if em is not None:
@@ -592,24 +688,40 @@ class StreamDriver:
     def _exec_emission(self, em: Emission) -> WindowResult:
         from flock_tpu.runtime.executor import OverflowError
 
-        chunks = [ch.staged for ch, _, __ in em.parts]
-        labels = [lab for _, lab, __ in em.parts]
-        lives = [lv for _, __, lv in em.parts]
         agg_cap = max(_bucket_cap(em.n_sessions), 128)
-        for attempt in range(6):
-            try:
-                b = self.executor.execute_labeled(chunks, labels, lives,
-                                                  agg_cap)
-                break
-            except OverflowError:
-                if attempt == 5:
-                    raise
-                agg_cap *= 4
-        return WindowResult(("sessions", em.t), self.executor.materialize(b))
+        dt = None
+        if em.merged is not None and em.chunks and \
+                all(ch.staged is not None for ch in em.chunks):
+            closed = em.merged[0]
+            span = int(closed.max()) - int(closed.min()) + 1
+            bucket = max(_bucket_cap(span + 1), 128)
+            if bucket <= _SPAN_LIMIT:
+                dt = em.dense_tables(bucket)
+        if dt is not None:
+            chunks = [ch.staged for ch in em.chunks]
+            cids = [ch.cid for ch in em.chunks]
+            for attempt in range(6):
+                try:
+                    b = self.executor.execute_session_tables(
+                        chunks, SessionState.key, dt, cids, agg_cap)
+                    break
+                except OverflowError:
+                    if attempt == 5:
+                        raise
+                    agg_cap *= 4
+            return WindowResult(("sessions", em.t),
+                                self.executor.materialize(b))
+        # host fallback: sparse keys, unstaged (restored) chunks, or
+        # duplicate keys across close groups (gap≈0)
+        bid = em.to_batch()
+        rel = self.executor._driving_relation()
+        caps = {rel: _bucket_cap(len(bid["__session"]))}
+        self.executor.agg_capacity = agg_cap
+        return self._execute_retry(("sessions", em.t), {rel: bid}, caps)
 
     # -- processing-time windows (q12) ---------------------------------------
 
-    def _run_global(self, epochs) -> list[WindowResult]:
+    def _run_global(self, epochs, prestaged=None) -> list[WindowResult]:
         """STREAMING processing-time windows: each w-epoch arrival window
         executes as soon as it completes; only the current window's staged
         chunks are held (global.rs:161-307).  The processing-time column is
@@ -658,8 +770,9 @@ class StreamDriver:
             keys = bid["bidder"]
             if not len(keys):
                 continue
-            pending.append((t, self.executor.stage_chunk(bid),
-                            int(keys.min()), int(keys.max())))
+            staged = prestaged[t] if prestaged is not None \
+                else self.executor.stage_chunk(bid)
+            pending.append((t, staged, int(keys.min()), int(keys.max())))
         r = emit(start)
         if r is not None:
             out.append(r)
