@@ -343,8 +343,24 @@ class SocketIngestServer:
         self._srv.server_close()
 
 
-def send_fragments(address: tuple[str, int], lines) -> None:
-    """Producer: stream fragment lines to a SocketIngestServer."""
-    with socket.create_connection(address) as s:
-        for line in lines:
-            s.sendall(line.encode() + b"\n")
+def send_fragments(address: tuple[str, int], lines,
+                   max_retries: int = 20) -> None:
+    """Producer: stream fragment lines to a SocketIngestServer.
+
+    Transient connect/send failures reconnect with the reference's
+    linear-random backoff (aws/lambda.rs:104-152) and resend from the first
+    unacknowledged line — at-least-once delivery; the consumer's arena
+    drops duplicate fragments (runtime/arena.py)."""
+    from flock_tpu.utils.retry import with_retry
+
+    lines = list(lines)
+    sent = 0
+
+    def attempt() -> None:
+        nonlocal sent
+        with socket.create_connection(address, timeout=30) as s:
+            while sent < len(lines):
+                s.sendall(lines[sent].encode() + b"\n")
+                sent += 1
+
+    with_retry(attempt, max_retries=max_retries, retryable=(OSError,))

@@ -54,6 +54,36 @@ class _Ctx:
     axis: str = AXIS
 
 
+_SMALL_SORT_ROWS = 1 << 16  # below this, gather-everything beats a shuffle
+
+
+def _composite_sort_key(cols, keys, desc):
+    """MONOTONE int64 routing key for a ≤2-key integer sort, or None when
+    inexpressible (floats, >2 keys).  Only ROUTES rows between shards —
+    local ordering always uses the real multi-key sort — so it needs
+    a ≤ b ⟹ comp(a) ≤ comp(b), never strictness: clipping out-of-range
+    int64 values can only collapse distinct keys onto one shard (balance
+    cost, caught by the shuffle overflow flag), never mis-order output."""
+    import jax.numpy as jnp
+
+    if len(keys) > 2:
+        return None
+    for k in keys:
+        if jnp.issubdtype(cols[k].dtype, jnp.floating):
+            return None
+
+    def adj(name, d):
+        k = jnp.clip(cols[name].astype(jnp.int64),
+                     -(1 << 31) + 1, (1 << 31) - 1)
+        return -k if d else k
+
+    if len(keys) == 1:
+        k = cols[keys[0]].astype(jnp.int64)
+        return -k if desc[0] else k
+    return (adj(keys[0], desc[0]) << 32) \
+        | ((adj(keys[1], desc[1]) + (1 << 31)) & jnp.int64(0xFFFFFFFF))
+
+
 def _final_aggs(aggs):
     # count partials re-aggregate with an int32 sum (count_sum) so the final
     # dtype matches the single-device executor's count output
@@ -127,17 +157,50 @@ def lower_dist(node: Node, tables: dict, ctx: _Ctx):
         return rcols, rvalid, ovf | o2
 
     if isinstance(node, Sort):
-        # global sort = coalesce-to-one-partition semantics (DataFusion's
-        # SortExec, the stage boundary Flock chops at, stage.rs:329-340):
-        # all_gather every shard's rows, sort locally (deterministic and
-        # identical on every shard), keep the result valid on shard 0 only so
-        # the merged output holds each row exactly once
         cols, valid, ovf = lower_dist(node.child, tables, ctx)
-        gcols, gvalid = broadcast_gather(cols, valid, ctx.axis)
         desc = node.descending or (False,) * len(node.keys)
-        scols, svalid = kernels.sort_rows(gcols, gvalid, list(node.keys), desc)
-        mine = jax.lax.axis_index(ctx.axis) == 0
-        return scols, svalid & mine, ovf
+        comp = _composite_sort_key(cols, node.keys, desc)
+        if valid.shape[0] * ctx.n_shards <= _SMALL_SORT_ROWS or comp is None:
+            # coalesce-to-one-partition (DataFusion SortExec semantics, the
+            # stage boundary Flock chops at, stage.rs:329-340): all_gather
+            # every shard's rows, sort locally, keep shard 0's copy.  Cheap
+            # at small inputs; also the general path for key shapes the
+            # composite routing key can't express (>2 keys, floats, two
+            # int64 keys)
+            gcols, gvalid = broadcast_gather(cols, valid, ctx.axis)
+            scols, svalid = kernels.sort_rows(gcols, gvalid,
+                                              list(node.keys), desc)
+            mine = jax.lax.axis_index(ctx.axis) == 0
+            return scols, svalid & mine, ovf
+        # sampled range-partitioned sort: per-shard work stays O(local rows)
+        # regardless of mesh width.  Sample each shard's sorted keys →
+        # all_gather → global splitters → all_to_all rows by key range →
+        # local sort.  Shard i then owns the i-th global key range, so the
+        # shard-major merged output is globally ordered (equal keys always
+        # land on one shard; heavy duplicates bound by the overflow flag).
+        from flock_tpu.parallel.shuffle import all_to_all_by_dest
+
+        cap = valid.shape[0]
+        i64max = jnp.iinfo(jnp.int64).max
+        names = list(cols)
+        operands = (jnp.where(valid, comp, i64max),) \
+            + tuple(cols[nm] for nm in names) + (valid,)
+        s = jax.lax.sort(operands, num_keys=1, is_stable=True)
+        scomp, svalid = s[0], s[-1]
+        scols = dict(zip(names, s[1:-1]))
+        n_valid = jnp.sum(svalid)
+        S = 64
+        pos = (jnp.arange(S) * n_valid) // S  # evenly spaced valid rows
+        samples = jnp.where(n_valid > 0, scomp[pos], i64max)
+        allsamp = jnp.sort(jax.lax.all_gather(samples, ctx.axis, tiled=True))
+        splitters = allsamp[S * jnp.arange(1, ctx.n_shards)]
+        dest = jnp.searchsorted(splitters, scomp, side="right"
+                                ).astype(jnp.int32)
+        per_dest = min(cap, max(4 * (cap // ctx.n_shards), 2048))
+        rcols, rvalid, o2 = all_to_all_by_dest(
+            scols, svalid, dest, ctx.n_shards, per_dest, ctx.axis)
+        fcols, fvalid = kernels.sort_rows(rcols, rvalid, list(node.keys), desc)
+        return fcols, fvalid, ovf | o2
 
     if isinstance(node, Compact):
         cols, valid, ovf = lower_dist(node.child, tables, ctx)

@@ -36,15 +36,24 @@ def all_to_all_shuffle(cols: dict[str, jax.Array], valid: jax.Array,
                        keys: list[str], n_shards: int,
                        per_dest_cap: int | None = None,
                        axis: str = AXIS):
-    """Exchange rows so equal keys land on the same shard.
+    """Exchange rows so equal keys land on the same shard (hash routing).
 
     Local [cap] columns → bucket-major [n, per_dest_cap] buffers → all_to_all
     → flattened local [n * per_dest_cap] columns.  Returns (cols, valid,
     overflow).
     """
+    dest = hash32([cols[k] for k in keys]) % n_shards
+    return all_to_all_by_dest(cols, valid, dest, n_shards, per_dest_cap, axis)
+
+
+def all_to_all_by_dest(cols: dict[str, jax.Array], valid: jax.Array,
+                       dest: jax.Array, n_shards: int,
+                       per_dest_cap: int | None = None,
+                       axis: str = AXIS):
+    """Exchange rows to explicit destinations (range-partitioned sorts route
+    by sampled splitters; hash shuffles wrap this with ``hash32``)."""
     cap = valid.shape[0]
     per_dest_cap = per_dest_cap or cap
-    dest = hash32([cols[k] for k in keys]) % n_shards
     dest = jnp.where(valid, dest, n_shards)  # invalid rows sort last
 
     names = list(cols)

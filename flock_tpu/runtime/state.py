@@ -71,20 +71,35 @@ class FileStateBackend(StateBackend):
         return p if seq_num is None else os.path.join(p, str(seq_num))
 
     def write(self, plan_idx: int, payload: Payload) -> None:
+        from flock_tpu.utils.retry import with_retry
+
         f = payload.fragment
         d = self._path(f.qid, plan_idx, f.shuffle_id)
-        os.makedirs(d, exist_ok=True)
         tmp = self._path(f.qid, plan_idx, f.shuffle_id, f.seq_num) + ".tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(encode(payload))
-        os.replace(tmp, tmp[:-4])  # atomic publish
+        blob = encode(payload)
+
+        def attempt() -> None:
+            os.makedirs(d, exist_ok=True)
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.replace(tmp, tmp[:-4])  # atomic publish
+
+        # transient filesystem faults (NFS hiccups, ENOSPC races) retry with
+        # the reference's backoff policy (aws/lambda.rs:104-152)
+        with_retry(attempt, max_retries=10, retryable=(OSError,))
 
     def read(self, qid, plan_idx, shuffle_id, seq_num):
+        from flock_tpu.utils.retry import with_retry
+
         p = self._path(qid, plan_idx, shuffle_id, seq_num)
         if not os.path.exists(p):
             return None
-        with open(p, "rb") as fh:
-            return decode(fh.read())
+
+        def attempt():
+            with open(p, "rb") as fh:
+                return decode(fh.read())
+
+        return with_retry(attempt, max_retries=10, retryable=(OSError,))
 
     def list_seqs(self, qid, plan_idx, shuffle_id):
         d = self._path(qid, plan_idx, shuffle_id)

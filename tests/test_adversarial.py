@@ -1,0 +1,84 @@
+"""Adversarial streaming inputs: state and compile counts stay bounded.
+
+Reference analogue: granule packing bounds payload/buffer growth no matter
+how hot one window key gets (flock-function/src/aws/window/mod.rs:29-56)."""
+
+import numpy as np
+
+from flock_tpu.datagen.nexmark import NexmarkConfig
+from flock_tpu.queries.nexmark import get_query
+from flock_tpu.runtime.stream import StreamDriver
+
+
+def _hot_epochs(seconds: int, rows_per_epoch: int):
+    """One immortal session: a single bidder bidding continuously — the
+    session never gap-closes or times out until the stream ends."""
+    base = NexmarkConfig().base_time
+    epochs = []
+    for t in range(seconds):
+        n = rows_per_epoch
+        epochs.append({"bid": {
+            "auction": np.full(n, 5, np.int64),
+            "bidder": np.full(n, 77, np.int64),
+            "price": np.arange(n, dtype=np.int64) + 100,
+            "b_date_time": base + t * 1000 + np.arange(n, dtype=np.int64) % 1000,
+        }})
+    return epochs
+
+
+def test_hot_session_bounded_chunks_and_compiles(monkeypatch):
+    import flock_tpu.runtime.stream as stream_mod
+    from flock_tpu.runtime import executor as ex_mod
+
+    seen = {"max_chunks": 0}
+    real = stream_mod.SessionState
+
+    class Spy(real):
+        def compact(self, max_chunks, restage=None):
+            super().compact(max_chunks, restage)
+            seen["max_chunks"] = max(seen["max_chunks"], len(self.chunks))
+
+    monkeypatch.setattr(stream_mod, "SessionState", Spy)
+
+    spec = get_query(11)
+    seconds = 40
+    epochs = _hot_epochs(seconds, 500)
+    cache_before = ex_mod._run_plan_session_tables._cache_size()
+    driver = StreamDriver(spec, seconds)
+    results = driver.run(epochs)
+
+    # retained chunks stay bounded by compaction, no matter how long the
+    # session lives
+    assert 0 < seen["max_chunks"] <= StreamDriver.MAX_CHUNKS
+    # one immortal session → exactly one emitted row at flush, exact count
+    rows = sum(len(next(iter(r.columns.values()))) for r in results)
+    assert rows == 1
+    (last,) = [r for r in results if len(next(iter(r.columns.values())))]
+    assert int(np.asarray(last.columns["bid_count"])[0]) == 500 * seconds
+    # compiled-program growth is bounded (capacity buckets + compaction keep
+    # the emission signature set small; no per-epoch fresh XLA programs)
+    assert ex_mod._run_plan_session_tables._cache_size() - cache_before <= 4
+
+
+def test_hot_session_growing_rate_reuses_capacity_buckets():
+    """Epoch sizes that wander (bursts) reuse power-of-two capacity buckets
+    instead of compiling one program per distinct row count."""
+    from flock_tpu.runtime import executor as ex_mod
+
+    spec = get_query(11)
+    base = NexmarkConfig().base_time
+    rng = np.random.default_rng(3)
+    epochs = []
+    seconds = 12
+    for t in range(seconds):
+        n = int(rng.integers(400, 512))  # distinct sizes, one 512 bucket
+        epochs.append({"bid": {
+            "auction": np.full(n, 5, np.int64),
+            "bidder": np.full(n, 77, np.int64),
+            "price": np.arange(n, dtype=np.int64),
+            "b_date_time": base + t * 1000 + np.arange(n, dtype=np.int64) % 1000,
+        }})
+    before = ex_mod._run_plan_session_tables._cache_size()
+    results = StreamDriver(spec, seconds).run(epochs)
+    assert sum(len(next(iter(r.columns.values()))) for r in results) == 1
+    assert ex_mod._run_plan_session_tables._cache_size() - before <= 2

@@ -119,6 +119,41 @@ def test_distributed_sql_sort(epoch_parts):
     assert rows(got_dist, names) == rows(got_local, names)
 
 
+def test_distributed_range_sort_is_globally_ordered():
+    """Above the small-input threshold, Sort lowers to the sampled
+    range-partitioned path (sample → splitters → all_to_all by range →
+    local sort) instead of gather-everything: per-shard work is O(local
+    rows) regardless of mesh width.  The shard-major merged output must be
+    globally ORDERED (stronger than sorted-set equality) and row-exact vs
+    the single-device sort."""
+    from flock_tpu.batch import Schema
+    from flock_tpu.plan import Scan, Sort
+    from flock_tpu.queries.nexmark import QuerySpec
+
+    spec = QuerySpec(
+        99, Sort(Scan("bid"), ("price", "auction"), (True, False)),
+        ("elementwise",), ("bid",), Schema(["price", "auction"]))
+    rng = np.random.default_rng(7)
+    n_per = 9_000  # 8 shards × 9k rows > the 64k gather-everything threshold
+    shard_tables = []
+    for i in range(N_SHARDS):
+        shard_tables.append({"bid": {
+            "price": rng.integers(0, 50_000, n_per).astype(np.int64),
+            "auction": rng.integers(0, 10_000, n_per).astype(np.int64),
+        }})
+    merged = {k: np.concatenate([st["bid"][k] for st in shard_tables])
+              for k in ("price", "auction")}
+
+    local = LocalExecutor(spec)
+    want = local.materialize(local.execute_window({"bid": merged}))
+    dist = DistributedExecutor(spec, N_SHARDS)
+    got = materialize_columns(spec, dist.execute_window(shard_tables))
+
+    want_rows = list(zip(want["price"].tolist(), want["auction"].tolist()))
+    got_rows = list(zip(got["price"].tolist(), got["auction"].tolist()))
+    assert got_rows == want_rows  # IN ORDER, not sorted-compare
+
+
 def test_distributed_ysb_matches_local():
     spec = ysb_query()
     cfg = YsbConfig(seconds=2, events_per_second=4000, threads=8)

@@ -147,3 +147,75 @@ def test_kafka_trigger_nexmark_payload(epochs):
     exp = oracle.q0(bid)
     names = ["auction", "bidder", "price", "b_date_time"]
     assert rows(cols, names) == rows(exp, names)
+
+
+def test_send_fragments_reconnects_midstream(epochs, monkeypatch):
+    """A transport fault mid-send reconnects with backoff and resumes from
+    the first unsent line (at-least-once; the arena dedups duplicates)."""
+    import socket as socket_mod
+
+    from flock_tpu.datagen.ingest import SocketIngestServer
+
+    lines = fragment_lines(epochs, "retry-q", granule=64)
+    srv = SocketIngestServer()
+    real_connect = socket_mod.create_connection
+    state = {"calls": 0}
+
+    class _FlakySock:
+        def __init__(self, inner):
+            self._inner = inner
+            self._sent = 0
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            self._inner.close()
+
+        def sendall(self, data):
+            self._sent += 1
+            if state["calls"] == 1 and self._sent > len(lines) // 2:
+                raise ConnectionResetError("injected mid-stream fault")
+            self._inner.sendall(data)
+
+    def flaky_connect(address, timeout=None):
+        state["calls"] += 1
+        return _FlakySock(real_connect(address))
+
+    monkeypatch.setattr("socket.create_connection", flaky_connect)
+    try:
+        send_fragments(srv.address, lines)
+        got = srv.lines(len(lines), timeout_s=30)
+    finally:
+        srv.close()
+    assert state["calls"] >= 2  # really reconnected
+    # every line arrives at least once (duplicates allowed, arena dedups)
+    assert set(got) >= set(lines)
+
+
+def test_file_state_write_retries_transient_fault(tmp_path, monkeypatch):
+    """FileStateBackend.write survives a transient filesystem fault via the
+    reference's linear-random backoff policy (aws/lambda.rs:104-152)."""
+    import os as os_mod
+
+    from flock_tpu.runtime.payload import FragmentId, Payload
+    from flock_tpu.runtime.state import FileStateBackend
+
+    backend = FileStateBackend(root=str(tmp_path))
+    p = Payload(FragmentId("rq", 0, 1, 0),
+                {"bidder": np.array([1, 2], np.int64),
+                 "b_date_time": np.array([10, 20], np.int64)})
+    real_replace = os_mod.replace
+    state = {"fails": 2}
+
+    def flaky_replace(src, dst):
+        if state["fails"] > 0:
+            state["fails"] -= 1
+            raise OSError("injected transient fault")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr("os.replace", flaky_replace)
+    backend.write(0, p)
+    assert state["fails"] == 0
+    got = backend.read("rq", 0, 0, 0)
+    assert got is not None and got.columns["bidder"].tolist() == [1, 2]
