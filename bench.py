@@ -220,6 +220,31 @@ def bench_ysb(seconds: int, eps: int, repeats: int = 3):
     }
 
 
+def _run_one(which: str, args):
+    """One --all entry (query sizing rules included) → its result record."""
+    if which == "ysb":
+        secs = max(args.seconds, 10)
+        if secs != args.seconds:
+            print(f"ysb: seconds raised to {secs} (tumbling window)",
+                  file=sys.stderr)
+        r = bench_ysb(secs, args.eps, repeats=args.repeats)
+        r["seconds"], r["eps"] = secs, args.eps
+        return r
+    q = int(which)
+    secs = max(args.seconds, 10) if q in (5, 7, 8) else args.seconds
+    eps = args.eps
+    if q == 3:
+        eps = max(eps, 4 * args.eps)
+    if q == 8:
+        eps = max(eps, 5_000_000)
+    if q in (11, 12):
+        r = bench_stream_query(q, secs, eps, repeats=args.repeats)
+    else:
+        r = bench_query(q, secs, eps, repeats=args.repeats)
+    r["seconds"], r["eps"] = secs, eps
+    return r
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=int, default=4)
@@ -230,11 +255,20 @@ def main():
                     "contends with the tunnel — more repeats filter it)")
     ap.add_argument("--all", action="store_true",
                     help="run q0..q13 + YSB and WRITE the per-query artifact")
+    ap.add_argument("--only", default=None,
+                    help="run ONE --all entry ('0'..'13' or 'ysb') and print "
+                    "its record to stdout (bench/sweep.py isolates queries "
+                    "in subprocesses so a wedged device tunnel can't hang "
+                    "the whole sweep)")
     ap.add_argument("--out", default="BENCH_QUERIES.json",
                     help="artifact path for --all (written by the harness "
                     "itself so the recorded table cannot drift from the run)")
     args = ap.parse_args()
-    _set_bench_env(no_fallback=not args.all)
+    _set_bench_env(no_fallback=not (args.all or args.only is not None))
+
+    if args.only is not None:
+        print(json.dumps(_run_one(args.only, args)), flush=True)
+        return
 
     if args.all:
         results = []
@@ -243,36 +277,15 @@ def main():
             results.append(r)
             print(json.dumps(r), file=sys.stderr)
 
-        for q in range(14):
+        # sizing notes: windowed queries (q5/q7/q8) need ≥10s; q3
+        # (persons+auctions = 8% of events) and q8 (one tumbling window)
+        # need larger driving inputs so compute, not dispatch round-trips,
+        # dominates the measurement — see _run_one
+        for which in [str(q) for q in range(14)] + ["ysb"]:
             try:
-                # windowed queries (q5 hopping, q7/q8 tumbling) need ≥10s
-                secs = max(args.seconds, 10) if q in (5, 7, 8) else args.seconds
-                eps = args.eps
-                # q3 (persons+auctions = 8% of events) and q8 (one tumbling
-                # window) need larger driving inputs so compute, not dispatch
-                # round-trips, dominates the measurement
-                if q == 3:
-                    eps = max(eps, 4 * args.eps)
-                if q == 8:
-                    eps = max(eps, 5_000_000)
-                if q in (11, 12):
-                    r = bench_stream_query(q, secs, eps, repeats=args.repeats)
-                else:
-                    r = bench_query(q, secs, eps, repeats=args.repeats)
-                r["seconds"], r["eps"] = secs, eps
-                record(r)
+                record(_run_one(which, args))
             except Exception as e:  # noqa: BLE001
-                record({"query": q, "error": str(e)[:200]})
-        try:
-            ysb_secs = max(args.seconds, 10)
-            if ysb_secs != args.seconds:
-                print(f"ysb: seconds raised to {ysb_secs} (tumbling window)",
-                      file=sys.stderr)
-            r = bench_ysb(ysb_secs, args.eps, repeats=args.repeats)
-            r["seconds"], r["eps"] = ysb_secs, args.eps
-            record(r)
-        except Exception as e:  # noqa: BLE001
-            record({"query": "ysb", "error": str(e)[:200]})
+                record({"query": which, "error": str(e)[:200]})
 
         import jax
 
