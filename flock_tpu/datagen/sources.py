@@ -68,8 +68,39 @@ _AUCTION_KEYS = ("a_id", "item_name", "description", "initial_bid", "reserve",
 _BID_KEYS = ("auction", "bidder", "price", "b_date_time")
 
 
+def _parse_int_lines_native(lines, spec) -> dict[str, np.ndarray] | None:
+    """All-integer line-JSON rows → columns via the native parser
+    (native/jsonl.cpp — the engine's event_bytes_to_batch hot loop,
+    transmute.rs:255-266); None on any non-conforming row (caller falls
+    back to the Python path)."""
+    try:
+        from flock_tpu.native import jsonl_parse_int_columns
+    except Exception:  # noqa: BLE001 — no toolchain: Python fallback
+        return None
+    if isinstance(lines, (list, tuple)):
+        data = "\n".join(lines).encode()
+        max_rows = len(lines)
+    else:
+        data = lines if isinstance(lines, bytes) else str(lines).encode()
+        max_rows = data.count(b"\n") + 1
+    if not max_rows:
+        max_rows = 1
+    cols = jsonl_parse_int_columns(data, [k for k, _ in spec], max_rows)
+    if cols is None:
+        return None
+    return {k: cols[k].astype(dt) for k, dt in spec}
+
+
+_BID_SPEC = (("auction", np.int32), ("bidder", np.int32),
+             ("price", np.int32), ("b_date_time", np.int64))
+
+
 def parse_bid_lines(lines) -> dict[str, np.ndarray]:
-    """Reference serde_json Bid rows → columnar batch (event.rs:314-324)."""
+    """Reference serde_json Bid rows → columnar batch (event.rs:314-324).
+    Native C parser fast path; Python fallback for non-conforming rows."""
+    native = _parse_int_lines_native(lines, _BID_SPEC)
+    if native is not None:
+        return native
     rows = [json.loads(l) for l in lines if l.strip()]
     return {
         "auction": np.array([r["auction"] for r in rows], np.int32),
@@ -96,13 +127,21 @@ def parse_person_lines(lines) -> dict[str, np.ndarray]:
     }
 
 
+_AUCTION_SPEC = (("a_id", np.int32), ("initial_bid", np.int32),
+                 ("reserve", np.int32), ("a_date_time", np.int64),
+                 ("expires", np.int64), ("seller", np.int32),
+                 ("category", np.int32))
+
+
 def parse_auction_lines(lines) -> dict[str, np.ndarray]:
+    """Auction rows (string fields item_name/description are skipped by the
+    engine's columns; the native parser ignores unrequested strings)."""
+    native = _parse_int_lines_native(lines, _AUCTION_SPEC)
+    if native is not None:
+        return native
     rows = [json.loads(l) for l in lines if l.strip()]
     out = {}
-    for k, dt in (("a_id", np.int32), ("initial_bid", np.int32),
-                  ("reserve", np.int32), ("a_date_time", np.int64),
-                  ("expires", np.int64), ("seller", np.int32),
-                  ("category", np.int32)):
+    for k, dt in _AUCTION_SPEC:
         out[k] = np.array([r[k] for r in rows], dt)
     return out
 

@@ -69,6 +69,36 @@ def get_codec_lib() -> ctypes.CDLL:
     return lib
 
 
+def get_jsonl_lib() -> ctypes.CDLL:
+    """Compile (if stale/missing) and load libflockjsonl.so, with argtypes."""
+    lib = _load("jsonl.cpp", "libflockjsonl.so")
+    if not getattr(lib, "_flock_typed", False):
+        lib.flock_jsonl_parse_ints.restype = ctypes.c_int64
+        lib.flock_jsonl_parse_ints.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ]
+        lib._flock_typed = True
+    return lib
+
+
+def jsonl_parse_int_columns(data: bytes, keys: list[str], max_rows: int):
+    """Parse newline-delimited JSON objects into int64 columns for ``keys``
+    (C-speed decode of the ingestion hot loop — transmute.rs:255-266
+    analogue).  Returns {key: np.int64 array} or None when the rows are not
+    flat integer objects (caller falls back to the Python parser)."""
+    import numpy as np
+
+    lib = get_jsonl_lib()
+    out = np.empty((len(keys), max_rows), np.int64)
+    n = lib.flock_jsonl_parse_ints(
+        data, len(data), "\n".join(keys).encode(), len(keys),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), max_rows)
+    if n < 0:
+        return None
+    return {k: out[i, :n].copy() for i, k in enumerate(keys)}
+
+
 def lz4_compress(data: bytes) -> bytes:
     lib = get_codec_lib()
     cap = lib.flock_lz4_max_compressed(len(data))
