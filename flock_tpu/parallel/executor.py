@@ -220,6 +220,49 @@ def lower_dist(node: Node, tables: dict, ctx: _Ctx):
         gcols, gvalid = broadcast_gather(bcols, bvalid, ctx.axis)
         out, valid, ovf_b, esc, span = fused_local_pass(
             node, gcols, gvalid, pcols, pvalid)
+        needs_fb = (esc | ovf_b).reshape(())
+        import os
+        if node.fallback is not None and \
+                not os.environ.get("FLOCK_TPU_NO_FALLBACK"):
+            # escape safety net, LOCAL to the shard (collective-free, so it
+            # is lax.cond-safe under shard_map): sharded substreams dilute
+            # the key locality the blocked window assumes — partition p
+            # holds every n-th event, so a block spans ~n× the id range of
+            # the event-ordered stream and hot shards can escape where the
+            # single-device pass would not.  Re-run the unfused join +
+            # scatter partial aggregation; the shuffle + final below are
+            # common to both branches.
+            jn = node.join
+            names = sorted(out)
+
+            def esc_branch():
+                jcols, jvalid, jo = kernels.lookup_join(
+                    gcols, gvalid, jn.build_key, pcols, pvalid,
+                    jn.probe_key, dict(jn.take))
+                if jn.post_filter is not None:
+                    jvalid = jvalid & jn.post_filter(jcols)
+                cols2, v2 = dict(jcols), jvalid
+                for nd in node.middle:
+                    if isinstance(nd, Filter):
+                        v2 = v2 & nd.pred(cols2)
+                    else:
+                        cols2 = {nm: (cols2[e] if isinstance(e, str)
+                                      else e(cols2))
+                                 for nm, e in nd.exprs}
+                pc2, pv2, o5 = kernels.group_aggregate(
+                    cols2, v2, [node.group_key], list(node.aggs), span,
+                    allow_blocked=False)
+                return (tuple(pc2[nm] for nm in names)
+                        + (pv2, (jo | o5).reshape(())))
+
+            def ok_branch():
+                return (tuple(out[nm] for nm in names)
+                        + (valid, (needs_fb & False).reshape(())))
+
+            picked = jax.lax.cond(needs_fb, esc_branch, ok_branch)
+            out = dict(zip(names, picked[:-2]))
+            valid = picked[-2]
+            needs_fb = picked[-1]
         per_dest = min(span, max(4 * (span // ctx.n_shards), 2048))
         scols, svalid, o3 = all_to_all_shuffle(
             out, valid, [node.group_key], ctx.n_shards,
@@ -227,7 +270,7 @@ def lower_dist(node: Node, tables: dict, ctx: _Ctx):
         fcols, fvalid, o4 = kernels.group_aggregate(
             scols, svalid, [node.group_key],
             list(_final_aggs(node.aggs)), span)
-        return fcols, fvalid, o1 | o2 | ovf_b | esc | o3 | o4
+        return fcols, fvalid, o1 | o2 | needs_fb | o3 | o4
 
     raise TypeError(f"unsupported distributed node {type(node)}")
 
