@@ -30,6 +30,22 @@ def _set_bench_env(no_fallback: bool) -> None:
 REFERENCE_EVENTS_PER_SEC = 10_000 / 1.17785  # README q5 demo REPORT line
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: repeat runs (and retries after remote
+    tunnel wedges) skip the 30-60s remote compiles.  No-op when the backend
+    can't serialize executables or a cache dir is already configured."""
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/flock_tpu_xla"))
+        try:
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception:  # noqa: BLE001 — older jax: default threshold
+            pass
+
+
 _EPOCH_CACHE: dict = {}
 
 
@@ -265,6 +281,7 @@ def main():
                     "itself so the recorded table cannot drift from the run)")
     args = ap.parse_args()
     _set_bench_env(no_fallback=not (args.all or args.only is not None))
+    _enable_compile_cache()
 
     if args.only is not None:
         print(json.dumps(_run_one(args.only, args)), flush=True)
