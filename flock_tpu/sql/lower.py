@@ -328,6 +328,11 @@ class Lowerer:
         proj = Project(agg_node, tuple(
             (n, src) for n, src in projections))
 
+        # Min/Max over a timestamp column stays a timestamp (q11's
+        # start_time/end_time): sinks must restore the absolute epoch base
+        ts_out = {out for in_c, fn, out in aggs
+                  if fn in ("min", "max") and in_c in rel.timestamp_cols}
+
         unique_out = {n for n, src in projections
                       if isinstance(src, str) and src in keys}
         return LoweredRel(
@@ -336,7 +341,7 @@ class Lowerer:
             unique_keys=unique_out if len(keys) == 1 else set(),
             single_row=not keys,
             dictionaries={k: v for k, v in rel.dictionaries.items()},
-            timestamp_cols=rel.timestamp_cols,
+            timestamp_cols=set(rel.timestamp_cols) | ts_out,
             f64=f64,
             base_relations=rel.base_relations,
         )

@@ -38,6 +38,7 @@ NEXMARK_SQL = {
         "a_id AS id, Max(price) AS final FROM auction INNER JOIN bid ON "
         "a_id = auction WHERE b_date_time BETWEEN a_date_time AND expires "
         "GROUP BY a_id) AS Q ON auction = id AND price = final;"),
+    10: "SELECT auction, bidder, price, b_date_time FROM bid;",
     13: ("SELECT auction, bidder, price, b_date_time, value FROM bid JOIN "
          "side_input ON auction = key;"),
 }
@@ -118,6 +119,25 @@ def test_sql_ysb():
     want = ex2.materialize(ex2.execute_window(tables))
     assert rows(got, ["campaign_id", "count"]) == \
         rows(want, ["campaign_id", "count"])
+
+
+def test_sql_q11_reference_text(window):
+    """The reference's q11.sql (per-session-window aggregation — each
+    reference invocation holds ONE session via HashDiff, so its SQL groups
+    by bidder; q11.sql).  Executed here over one window and checked against
+    a direct numpy group-by."""
+    sql = ("SELECT bidder, Count(*) AS bid_count, Min(b_date_time) AS "
+           "start_time, Max(b_date_time) AS end_time FROM bid "
+           "GROUP BY bidder;")
+    spec = sql_to_spec(sql, nexmark_catalog())
+    got = run_spec(spec, window)
+    bid = window["bid"]
+    b, t = np.asarray(bid["bidder"]), np.asarray(bid["b_date_time"])
+    want = sorted(
+        (int(u), int((b == u).sum()), int(t[b == u].min()),
+         int(t[b == u].max()))
+        for u in np.unique(b))
+    assert rows(got, spec.schema.names) == want
 
 
 def test_sql_parse_errors():
