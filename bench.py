@@ -131,7 +131,7 @@ def bench_query(qnum: int, seconds: int, eps: int, repeats: int = 3):
         _np.asarray(outs[-1].valid[:1])
         best = min(best, time.perf_counter() - t0)
 
-    return {
+    r = {
         "query": qnum,
         "rows_in": rows_in,
         "wall_time_s": best,
@@ -141,6 +141,26 @@ def bench_query(qnum: int, seconds: int, eps: int, repeats: int = 3):
         "feed_time_s": feed_dt,
         "windows": len(windows),
     }
+    if os.environ.get("FLOCK_TPU_STACKED") and len(staged) > 1:
+        # ONE dispatch drives every window via lax.map — control latency is
+        # paid once for the whole stream segment (the production pipeline
+        # form; opt-in because the first remote compile is slow, amortized
+        # by the persistent compile cache)
+        try:
+            sout, _ = executor.execute_stacked(staged, check_overflow=False)
+            _np.asarray(sout.valid[:1, :1])
+            bs = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                sout, _ = executor.execute_stacked(staged,
+                                                   check_overflow=False)
+                _np.asarray(sout.valid[:1, :1])
+                bs = min(bs, time.perf_counter() - t0)
+            r["stacked_wall_time_s"] = bs
+            r["rows_per_s_stacked"] = rows_in / bs
+        except Exception as e:  # noqa: BLE001
+            r["stacked_error"] = str(e)[:120]
+    return r
 
 
 def bench_stream_query(qnum: int, seconds: int, eps: int, repeats: int = 3):

@@ -54,10 +54,20 @@ def main():
                     help="per-query subprocess timeout (seconds)")
     ap.add_argument("--out", default=os.path.join(ROOT, "BENCH_QUERIES.json"))
     ap.add_argument("--retries", type=int, default=1)
+    ap.add_argument("--entries", nargs="*", default=None,
+                    help="re-run only these entries, merging the rest from "
+                    "the existing artifact (still harness-written)")
     args = ap.parse_args()
 
     entries = [str(q) for q in range(14)] + ["ysb"]
     results: dict[str, dict] = {}
+    if args.entries:
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                for rec in json.load(f).get("results", []):
+                    results[str(rec.get("query"))] = rec
+        for w in args.entries:
+            results.pop(w, None)
     for attempt in range(args.retries + 1):
         todo = [w for w in entries if "error" in results.get(w, {"error": 1})]
         if not todo:

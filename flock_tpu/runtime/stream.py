@@ -285,21 +285,35 @@ class SessionState:
     # -- internals -------------------------------------------------------------
 
     @staticmethod
-    def _per_key_stats(keys: np.ndarray, secs: np.ndarray):
+    def _per_key_stats(keys: np.ndarray, times: np.ndarray):
         """(uniq sorted keys, first row second, last row second) per key.
         Rows arrive time-ordered within an epoch, so first/last occurrence
-        equals min/max; dense scatter tables make this O(n) without a sort."""
+        equals min/max; dense scatter tables make this O(n) without a sort.
+        Epochs sliced by event second (the generator's layout) hit the
+        constant-second fast path: every key's first == last == the epoch's
+        second, so only the key-occupancy pass runs."""
         kmin = int(keys.min())
         span = int(keys.max()) - kmin + 1
         n = len(keys)
+        tmin = int(times.min())
+        const_sec = tmin // 1000 if int(times.max()) // 1000 == tmin // 1000 \
+            else None
         if span <= max(64 * n, _SPAN_LIMIT):
             pos = keys - kmin
+            if const_sec is not None:
+                flag = np.zeros(span, bool)
+                flag[pos] = True
+                off = np.flatnonzero(flag)
+                sec = np.full(len(off), const_sec, np.int64)
+                return off + kmin, sec, sec
+            secs = times // 1000
             last = np.full(span, -1, np.int64)
             last[pos] = secs
             first = np.empty(span, np.int64)
             first[pos[::-1]] = secs[::-1]
             off = np.flatnonzero(last >= 0)
             return off + kmin, first[off], last[off]
+        secs = times // 1000
         order = np.argsort(keys, kind="stable")
         sk, ss = keys[order], secs[order]
         uniq, starts = np.unique(sk, return_index=True)
@@ -324,8 +338,8 @@ class SessionState:
         n = len(bids[self.key])
         if n:
             keys = np.asarray(bids[self.key]).astype(np.int64, copy=False)
-            secs = np.asarray(bids[self.time_col]) // 1000
-            uniq, first_sec, last_sec = self._per_key_stats(keys, secs)
+            times = np.asarray(bids[self.time_col])
+            uniq, first_sec, last_sec = self._per_key_stats(keys, times)
             if len(self.ob):
                 ix = np.searchsorted(self.ob, uniq)
                 ixc = np.minimum(ix, len(self.ob) - 1)
