@@ -156,7 +156,7 @@ def test_send_fragments_reconnects_midstream(epochs, monkeypatch):
 
     from flock_tpu.datagen.ingest import SocketIngestServer
 
-    lines = fragment_lines(epochs, "retry-q", granule=64)
+    lines = fragment_lines(epochs[:2], "retry-q", granule=256)
     srv = SocketIngestServer()
     real_connect = socket_mod.create_connection
     state = {"calls": 0}
@@ -185,7 +185,9 @@ def test_send_fragments_reconnects_midstream(epochs, monkeypatch):
     monkeypatch.setattr("socket.create_connection", flaky_connect)
     try:
         send_fragments(srv.address, lines)
-        got = srv.lines(len(lines), timeout_s=30)
+        # consume BEFORE close — srv.lines is a generator and shutdown
+        # stops the handler threads feeding it
+        got = list(srv.lines(len(lines), timeout_s=120))
     finally:
         srv.close()
     assert state["calls"] >= 2  # really reconnected
