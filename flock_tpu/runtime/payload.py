@@ -9,10 +9,12 @@ On a TPU mesh, live data never leaves HBM (collectives replace payload hops),
 so this format serves the *persistence* paths instead: window-state
 checkpoints, the state backend (S3 analogue), and host-to-host spill.
 
-Codecs (the Encoding enum analogue): ``zlib`` (stdlib, level knob mirrors
-zstd default=3), ``lz4`` (the from-scratch native block codec,
-native/codec.cpp), and ``none``.  The codec rides in the fragment header so
-any decoder handles any producer's payloads.
+Codecs (the full Encoding enum): ``zstd`` (the reference's default, level
+3, via the image's zstandard package), ``zlib`` (stdlib), ``lz4`` and
+``snappy`` (both from-scratch native block codecs, native/codec.cpp and
+native/snappy.cpp — snappy implements the public block-format spec), and
+``none``.  The codec rides in the fragment header so any decoder handles
+any producer's payloads.
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-CODECS = ("zlib", "lz4", "none")
+CODECS = ("zstd", "zlib", "lz4", "snappy", "none")
 
 
 def _default_codec() -> str:
@@ -53,24 +55,41 @@ class Payload:
 
 
 def _compress(raw: bytes, codec: str, level: int) -> bytes:
+    if codec == "zstd":
+        import zstandard
+
+        return zstandard.ZstdCompressor(level=level).compress(raw)
     if codec == "zlib":
         return zlib.compress(raw, level)
     if codec == "lz4":
         from flock_tpu.native import lz4_compress
 
         return lz4_compress(raw)
+    if codec == "snappy":
+        from flock_tpu.native import snappy_compress
+
+        return snappy_compress(raw)
     if codec == "none":
         return raw
     raise ValueError(f"unknown codec {codec!r} (expected one of {CODECS})")
 
 
 def _decompress(body: bytes, codec: str, nbytes: int) -> bytes:
+    if codec == "zstd":
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompress(
+            body, max_output_size=max(nbytes, 1))
     if codec == "zlib":
         return zlib.decompress(body)
     if codec == "lz4":
         from flock_tpu.native import lz4_decompress
 
         return lz4_decompress(body, nbytes)
+    if codec == "snappy":
+        from flock_tpu.native import snappy_decompress
+
+        return snappy_decompress(body, nbytes)
     if codec == "none":
         return body
     raise ValueError(f"unknown codec {codec!r} (expected one of {CODECS})")

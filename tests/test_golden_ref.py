@@ -88,7 +88,7 @@ def _load_csv_columns(path: str, limit: int | None = None) -> dict:
     return out
 
 
-@pytest.mark.parametrize("codec", ["zlib", "lz4", "none"])
+@pytest.mark.parametrize("codec", ["zstd", "zlib", "lz4", "snappy", "none"])
 def test_citibike_payload_roundtrip_all_codecs(codec):
     cols = _load_csv_columns(fixture("citibike_2k.csv"))
     assert len(cols["tripduration"]) == 2000
@@ -102,8 +102,8 @@ def test_citibike_payload_roundtrip_all_codecs(codec):
     if codec != "none":
         # the reference asserts Flight+compression beats JSON on this same
         # data (payload.rs:344-438); zstd-class codecs roughly halve it,
-        # the fast block LZ4 compresses less aggressively
-        bound = json_size / 2 if codec == "zlib" else json_size * 0.8
+        # the fast block codecs (lz4/snappy) compress less aggressively
+        bound = json_size / 2 if codec in ("zstd", "zlib") else json_size * 0.8
         assert len(blob) < bound, (codec, len(blob), json_size)
 
 

@@ -44,7 +44,7 @@ def test_payload_roundtrip_and_compression():
     assert len(data) < raw_bytes
 
 
-@pytest.mark.parametrize("codec", ["zlib", "lz4", "none"])
+@pytest.mark.parametrize("codec", ["zstd", "zlib", "lz4", "snappy", "none"])
 def test_payload_codecs_roundtrip(codec):
     """Every codec roundtrips; the codec rides in the header so any decoder
     handles any producer's payloads (encoding.rs Encoding analogue)."""
@@ -75,9 +75,10 @@ def test_lz4_native_codec():
 
 
 def test_config_default_codec():
-    assert EngineConfig().payload_codec == "zlib"
+    # zstd is the reference's default encoding (encoding.rs:27-112)
+    assert EngineConfig().payload_codec == "zstd"
     cfg = load_config(None)
-    assert cfg.payload_codec in ("zlib", "lz4", "none")
+    assert cfg.payload_codec in ("zstd", "zlib", "lz4", "snappy", "none")
 
 
 def test_fragment_slicing():
