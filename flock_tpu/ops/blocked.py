@@ -58,7 +58,7 @@ def blocked_local_agg(
     out_capacity: int,
     block: int = 4096,
     s_loc: int = 1024,
-    margin: int = 128,
+    margin: int = 0,
 ):
     """Grouped aggregation over a dense key span via blocked one-hot compute.
 
@@ -102,6 +102,9 @@ def blocked_local_agg(
         kblk, vblk = xs[0], xs[1]
         colvals = xs[2]
         rel_all = kblk - m
+        # window anchored at the block's min VALID key: no key can fall
+        # below it, so the full s_loc span is usable headroom above (margin
+        # kept as a knob for non-min anchoring experiments; default 0)
         base = jnp.min(jnp.where(vblk, rel_all, I32_MAX))
         base = jnp.clip(base - margin, 0, max(out_capacity - s_loc, 0))
         rel = rel_all - base
@@ -227,7 +230,7 @@ def blocked_local_join(
     take: list[str],                         # build col names to gather
     block: int = 4096,
     s_loc: int = 1024,
-    margin: int = 512,
+    margin: int = 0,
 ):
     """Probe-side of the dense lookup join via blocked one-hot contraction.
 
@@ -326,7 +329,7 @@ def blocked_join_aggregate(
     out_capacity: int,
     block: int = 4096,
     s_loc: int = 1024,
-    margin: int = 512,
+    margin: int = 0,
 ):
     """Fused lookup-join + filter + grouped aggregation in one pass.
 

@@ -139,6 +139,10 @@ AGG_S_LOC = 1024
 S_LOC_DENSE_IDS = 4608       # group key ≡ the relation's own id column
 S_LOC_PERSON_OVER_AUCTION = 2560
 S_LOC_PERSON_OVER_BID = 1280
+#   auction ids over bid rows (q4/q6/q9 probe): frontier advances 3/46 per
+#   bid row (267/block) + in_flight_auctions=100 lookback + hot-id rounding
+#   ≤ hot_auction_ratio_2=100 (event.rs:171-184, config.rs:119-133) → 512
+S_LOC_AUCTION_OVER_BID = 512
 
 
 def dense_group_aggregate(

@@ -359,6 +359,10 @@ def fused_local_pass(node: "FusedJoinAggregate",
     pvalid = jnp.pad(p_valid, (0, pad))
     from flock_tpu.pallas import join_agg
 
+    # probe-side locality window: the plan's statistics hint (e.g.
+    # S_LOC_AUCTION_OVER_BID, derived from the generator's frontier math)
+    # halves the one-hot op count vs the 1024 default when it applies
+    s_loc = jn.probe_s_loc or AGG_S_LOC
     if join_agg.fused_preferred() and join_agg.eligible(
             slot_cols, pcols, replay, list(node.aggs)):
         # Pallas path (opt-in, FLOCK_TPU_PALLAS=2): span accumulators live in
@@ -372,7 +376,7 @@ def fused_local_pass(node: "FusedJoinAggregate",
         out, ovalid, esc = blocked.blocked_join_aggregate(
             slot_cols, present, m, pcols, pvalid, jn.probe_key, replay,
             list(node.aggs), span, block=min(AGG_BLOCK, n + pad),
-            s_loc=AGG_S_LOC)
+            s_loc=s_loc)
     out[node.group_key] = out.pop("__key")
     return out, ovalid & present, ovf_b, esc, span
 

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from flock_tpu.batch import Schema
 from flock_tpu.config import CONFIG
 from flock_tpu.datagen.nexmark import FIRST_NAMES, LAST_NAMES, US_CITIES, US_STATES
-from flock_tpu.ops.kernels import (S_LOC_DENSE_IDS, S_LOC_PERSON_OVER_AUCTION,
+from flock_tpu.ops.kernels import (S_LOC_AUCTION_OVER_BID, S_LOC_DENSE_IDS,
+                                   S_LOC_PERSON_OVER_AUCTION,
                                    S_LOC_PERSON_OVER_BID)
 from flock_tpu.plan import Aggregate, Filter, Join, Node, Project, Rank, Scan
 
@@ -117,6 +118,7 @@ def _winning_bid_interval(extra_take: tuple = ()) -> Node:
         post_filter=lambda c: (c["b_date_time"] >= c["a_date_time"])
         & (c["b_date_time"] <= c["expires"]),
         build_s_loc=S_LOC_DENSE_IDS,  # a_id is dense-ascending: blocked slotting
+        probe_s_loc=S_LOC_AUCTION_OVER_BID,
     )
 
 
