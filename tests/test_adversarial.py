@@ -82,3 +82,28 @@ def test_hot_session_growing_rate_reuses_capacity_buckets():
     results = StreamDriver(spec, seconds).run(epochs)
     assert sum(len(next(iter(r.columns.values()))) for r in results) == 1
     assert ex_mod._run_plan_session_tables._cache_size() - before <= 2
+
+
+def test_session_sparse_key_span_uses_sorted_fallback():
+    """Keys spread over a huge span (no dense table fits) take the
+    argsort/searchsorted branches in both the per-key stats and the
+    emission masks, and the emission realizes via the host path."""
+    base = NexmarkConfig().base_time
+    k = np.array([10, 1 << 40, 10, 1 << 40, 77], np.int64)
+    bid = {
+        "bidder": k,
+        "b_date_time": np.full(5, base + 10, np.int64),
+        "price": np.arange(5, dtype=np.int64),
+        "auction": np.ones(5, np.int64),
+    }
+    from flock_tpu.runtime.stream import SessionState
+
+    st = SessionState(gap=2)
+    assert st.advance(bid, 0) is None
+    em = st.flush(1)
+    assert em is not None and em.n_sessions == 3
+    assert em.dense_tables(1 << 20) is None  # span >> bucket
+    cols = em.to_batch()
+    sid = cols["__session"]
+    counts = sorted(int((sid == s).sum()) for s in np.unique(sid))
+    assert counts == [1, 2, 2]
