@@ -107,3 +107,30 @@ def test_session_sparse_key_span_uses_sorted_fallback():
     sid = cols["__session"]
     counts = sorted(int((sid == s).sum()) for s in np.unique(sid))
     assert counts == [1, 2, 2]
+
+
+def test_session_stream_soak_mid_stream_emissions():
+    """A stream longer than the session gap emits CLOSED sessions mid-stream
+    (gap + timeout closes through the device-table path), and the union of
+    all emissions is row-exact vs the whole-stream oracle."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    import oracle
+
+    from flock_tpu.runtime.stream import generate_epochs
+
+    seconds, eps = 24, 20_000
+    epochs = generate_epochs(seconds, eps)
+    driver = StreamDriver(get_query(11), seconds)
+    res = driver.run(epochs)
+    assert len(res) > 1, "expected mid-stream emissions, got flush only"
+    got = sorted(
+        (int(r.columns["bidder"][i]), int(r.columns["bid_count"][i]),
+         int(r.columns["start_time"][i]), int(r.columns["end_time"][i]))
+        for r in res for i in range(len(r.columns["bidder"])))
+    want = oracle.q11_sessions([e["bid"] for e in epochs], gap=10)
+    want_rows = sorted(zip(*(np.asarray(want[k]).tolist()
+                             for k in ("bidder", "bid_count",
+                                       "start_time", "end_time"))))
+    assert got == want_rows
