@@ -304,7 +304,11 @@ def main():
     _enable_compile_cache()
 
     if args.only is not None:
-        print(json.dumps(_run_one(args.only, args)), flush=True)
+        r = _run_one(args.only, args)
+        import jax
+
+        r["device"] = str(jax.devices()[0])
+        print(json.dumps(r), flush=True)
         return
 
     if args.all:

@@ -79,8 +79,10 @@ def main():
             results[which] = rec
             print(json.dumps(rec), file=sys.stderr, flush=True)
 
+    devices = {r.get("device") for r in results.values() if r.get("device")}
     doc = {
-        "hardware": "TPU (per-query subprocesses; see results)",
+        "hardware": (sorted(devices)[0] if devices
+                     else "TPU (per-query subprocesses)"),
         "config": {
             "seconds": args.seconds, "events_per_second": args.eps,
             "repeats": args.repeats,
