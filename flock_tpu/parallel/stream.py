@@ -113,7 +113,18 @@ class DistStreamDriver:
         return results
 
     def _merged_bids(self, parts: list[dict]) -> dict:
-        return dict(concat_relations(parts, ("bid",)))["bid"]
+        """Merged bid table projected to the columns the plan (or the
+        session bookkeeping) reads — the same pushdown as the local driver,
+        so what row-shards across the mesh is the live columns only."""
+        from flock_tpu.plan import referenced_columns
+
+        bid = dict(concat_relations(parts, ("bid",)))["bid"]
+        refs = referenced_columns(self.spec.plan)
+        if refs is None:
+            return bid
+        keep = (refs | set(self.spec.schema.names)
+                | {SessionState.key, SessionState.time_col})
+        return {k: v for k, v in bid.items() if k in keep}
 
     def _exec_row_sharded(self, rel: str, cols: dict, tag: tuple
                           ) -> WindowResult:
