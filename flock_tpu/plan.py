@@ -245,6 +245,14 @@ def lower(node: Node, tables: dict[str, Batch], agg_capacity: int | None = None)
             cols, valid, ovf = kernels.slot_join(
                 b.cols, b.valid, node.build_key,
                 p.cols, p.valid, node.probe_key, dict(node.take))
+        elif jnp.issubdtype(b.cols[node.build_key].dtype, jnp.floating) \
+                or jnp.issubdtype(p.cols[node.probe_key].dtype, jnp.floating):
+            # general-key fallback: float keys have no dense slot span —
+            # sort the build side and binary-search the probes
+            cols, valid = kernels.sorted_lookup_join(
+                b.cols, b.valid, node.build_key,
+                p.cols, p.valid, node.probe_key, dict(node.take))
+            ovf = jnp.asarray(False)
         else:
             cols, valid, ovf = kernels.lookup_join(
                 b.cols, b.valid, node.build_key,

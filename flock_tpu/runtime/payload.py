@@ -32,7 +32,21 @@ CODECS = ("zstd", "zlib", "lz4", "snappy", "none")
 def _default_codec() -> str:
     from flock_tpu.config import CONFIG
 
-    return CONFIG.payload_codec
+    codec = CONFIG.payload_codec
+    if codec == "zstd":
+        # environments without the zstandard package fall back to stdlib
+        # zlib (recorded in the fragment header, so decode stays correct);
+        # an EXPLICIT codec="zstd" still raises, like the native codecs
+        # when the toolchain is absent
+        try:
+            import zstandard  # noqa: F401
+        except ImportError:
+            import warnings
+
+            warnings.warn("zstandard unavailable; default payload codec "
+                          "falling back to zlib", stacklevel=2)
+            return "zlib"
+    return codec
 
 
 @dataclass(frozen=True)

@@ -747,6 +747,17 @@ class StreamDriver:
 
         w = self.spec.window[1]
         rel = self.executor._driving_relation()
+        # span-sizing key = the plan's single group key (q12: bidder); the
+        # driver is generic over whatever relation/key the plan groups on
+        from flock_tpu.plan import Aggregate, walk
+
+        span_keys = [n.group_keys[0] for n in walk(self.spec.plan)
+                     if isinstance(n, Aggregate) and len(n.group_keys) == 1
+                     and n.group_keys[0] != "p_time"]
+        if not span_keys:
+            raise ValueError(
+                "processing-time driver needs a single-key aggregation")
+        span_key = span_keys[0]
         out: list[WindowResult] = []
         pending: list[tuple] = []  # (t, staged Batch, key_min, key_max)
         start = 0
@@ -781,7 +792,7 @@ class StreamDriver:
                 start = t
             bid = self._needed_cols(tables[rel])
             bid.pop("p_time", None)
-            keys = bid["bidder"]
+            keys = bid[span_key]
             if not len(keys):
                 continue
             staged = prestaged[t] if prestaged is not None \

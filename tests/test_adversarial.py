@@ -3,7 +3,10 @@
 Reference analogue: granule packing bounds payload/buffer growth no matter
 how hot one window key gets (flock-function/src/aws/window/mod.rs:29-56)."""
 
+import os
+
 import numpy as np
+import pytest
 
 from flock_tpu.datagen.nexmark import NexmarkConfig
 from flock_tpu.queries.nexmark import get_query
@@ -121,6 +124,36 @@ def test_session_stream_soak_mid_stream_emissions():
     from flock_tpu.runtime.stream import generate_epochs
 
     seconds, eps = 24, 20_000
+    epochs = generate_epochs(seconds, eps)
+    driver = StreamDriver(get_query(11), seconds)
+    res = driver.run(epochs)
+    assert len(res) > 1, "expected mid-stream emissions, got flush only"
+    got = sorted(
+        (int(r.columns["bidder"][i]), int(r.columns["bid_count"][i]),
+         int(r.columns["start_time"][i]), int(r.columns["end_time"][i]))
+        for r in res for i in range(len(r.columns["bidder"])))
+    want = oracle.q11_sessions([e["bid"] for e in epochs], gap=10)
+    want_rows = sorted(zip(*(np.asarray(want[k]).tolist()
+                             for k in ("bidder", "bid_count",
+                                       "start_time", "end_time"))))
+    assert got == want_rows
+
+
+@pytest.mark.skipif(not os.environ.get("FLOCK_TPU_SOAK"),
+                    reason="opt-in soak (set FLOCK_TPU_SOAK=1); ~2 min on "
+                           "the CPU backend, ~24 s on TPU")
+def test_session_soak_large():
+    """The round-3 hardware soak, promoted to an opt-in test: 24 s x 200k
+    events/s q11 with mid-stream session emissions (device label-table
+    path), row-exact vs the whole-stream oracle (~96k sessions)."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    import oracle
+
+    from flock_tpu.runtime.stream import generate_epochs
+
+    seconds, eps = 24, 200_000
     epochs = generate_epochs(seconds, eps)
     driver = StreamDriver(get_query(11), seconds)
     res = driver.run(epochs)

@@ -86,3 +86,37 @@ def test_fused_float_agg_falls_back():
         if sel.any():
             want = (probe["v"][sel].astype(np.float32) * 0.5).max()
             assert np.isclose(got["m"][got["k"] == kv][0], want), kv
+
+
+def test_float_key_join_uses_sorted_fallback():
+    # a float join key has no dense slot span: the lowering must route
+    # through kernels.sorted_lookup_join (sort build + binary-search probes)
+    # and produce the same rows a dense-key join would
+    from flock_tpu.batch import Batch
+    from flock_tpu.plan import Join, Scan, compile_plan
+
+    rng = np.random.default_rng(7)
+    bk = (np.arange(50, dtype=np.float32) * 2.5 + 10.0)
+    build = {"fk": bk, "payload": np.arange(50, dtype=np.int32) * 3}
+    n = 256
+    probe_keys = bk[rng.integers(0, 50, n)]
+    probe_keys[::7] = -1.0  # misses
+    probe = {"fk": probe_keys.astype(np.float32),
+             "v": rng.integers(0, 100, n).astype(np.int32)}
+
+    join = Join(build=Scan("b"), probe=Scan("p"), build_key="fk",
+                probe_key="fk", take=(("payload", "payload"),))
+    tables = {"b": Batch.from_numpy(build), "p": Batch.from_numpy(probe)}
+    out, ovf = jax.jit(compile_plan(join, 4096))(tables)
+    assert not bool(ovf)
+    got_valid = np.asarray(out.valid)
+    got = {k: np.asarray(v) for k, v in out.columns.items()}
+    # every probe row with a matching build key joins; misses drop
+    lut = {float(k): int(p) for k, p in zip(bk, build["payload"])}
+    for i in range(n):
+        pk = float(probe["fk"][i])
+        if pk in lut:
+            assert got_valid[i]
+            assert int(got["payload"][i]) == lut[pk]
+        else:
+            assert not got_valid[i]

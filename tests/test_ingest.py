@@ -185,9 +185,20 @@ def test_send_fragments_reconnects_midstream(epochs, monkeypatch):
     monkeypatch.setattr("socket.create_connection", flaky_connect)
     try:
         send_fragments(srv.address, lines)
-        # consume BEFORE close — srv.lines is a generator and shutdown
-        # stops the handler threads feeding it
-        got = list(srv.lines(len(lines), timeout_s=120))
+        # the reconnect rewinds past possibly-undelivered lines, so the
+        # server sees len(lines) + duplicates; poll the buffer (BEFORE
+        # close — shutdown stops the handler threads feeding it) until
+        # every unique line has arrived at least once
+        import time as _time
+
+        deadline = _time.monotonic() + 120
+        got: list = []
+        while _time.monotonic() < deadline:
+            with srv._cv:
+                got = list(srv._lines)
+            if set(got) >= set(lines):
+                break
+            _time.sleep(0.05)
     finally:
         srv.close()
     assert state["calls"] >= 2  # really reconnected
