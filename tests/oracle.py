@@ -56,28 +56,58 @@ def q3(person, auction):
     return {k: np.array(v, np.int32) for k, v in out.items()}
 
 
+def _auction_rows(auction):
+    """a_id → list of auction row indices.  Duplicate a_ids are real reference
+    behavior: with G generators, the event-id offset 100_000/G need not align
+    with the 50-event proportion denominator, so an epoch's auction events can
+    collapse onto one last_id (event.rs:86-88 + Auction::last_id) — the SQL
+    joins EVERY duplicate row, and so does this oracle."""
+    aidx: dict[int, list] = {}
+    for i, a in enumerate(auction["a_id"]):
+        aidx.setdefault(int(a), []).append(i)
+    return aidx
+
+
 def _winning_max(auction, bid):
-    """max bid price per auction within [a_date_time, expires] → dict a_id→(max, extra auction row idx)."""
-    aidx = {int(a): i for i, a in enumerate(auction["a_id"])}
+    """max bid price per auction over joined rows (a bid matches a_id when ANY
+    duplicate auction row's [a_date_time, expires] interval admits it)."""
+    aidx = _auction_rows(auction)
     best: dict[int, int] = {}
     for i in range(len(bid["auction"])):
         a = int(bid["auction"][i])
-        j = aidx.get(a)
-        if j is None:
+        rows_ = aidx.get(a)
+        if rows_ is None:
             continue
         t = bid["b_date_time"][i]
-        if auction["a_date_time"][j] <= t <= auction["expires"][j]:
-            p = int(bid["price"][i])
-            if a not in best or p > best[a]:
-                best[a] = p
+        p = int(bid["price"][i])
+        for j in rows_:
+            if auction["a_date_time"][j] <= t <= auction["expires"][j]:
+                if a not in best or p > best[a]:
+                    best[a] = p
+                break
     return best, aidx
 
 
 def q4(auction, bid):
-    best, aidx = _winning_max(auction, bid)
+    # GROUP BY a_id, category over the joined rows: duplicate auction rows
+    # with distinct categories form distinct groups; Max(price) per group is
+    # over the bids admitted by THAT row's interval (plus same-category dups)
+    aidx = _auction_rows(auction)
+    best: dict[tuple, int] = {}   # (a_id, category) → max price
+    for i in range(len(bid["auction"])):
+        a = int(bid["auction"][i])
+        rows_ = aidx.get(a)
+        if rows_ is None:
+            continue
+        t = bid["b_date_time"][i]
+        p = int(bid["price"][i])
+        for j in rows_:
+            if auction["a_date_time"][j] <= t <= auction["expires"][j]:
+                k = (a, int(auction["category"][j]))
+                if k not in best or p > best[k]:
+                    best[k] = p
     sums: dict[int, list] = {}
-    for a, mx in best.items():
-        c = int(auction["category"][aidx[a]])
+    for (a, c), mx in best.items():
         s = sums.setdefault(c, [0, 0])
         s[0] += mx
         s[1] += 1
@@ -98,25 +128,29 @@ def q5(bid):
 
 
 def q6(auction, bid):
-    # winning bid rows (price desc, tie: earlier b_date_time) per auction
-    aidx = {int(a): i for i, a in enumerate(auction["a_id"])}
-    best: dict[int, tuple] = {}   # a → (price, ts) winner
+    # winning joined row per auction id (price desc, tie: earlier
+    # b_date_time, tie: smaller seller — the engine's pinned total order;
+    # the seller tiebreak only matters when duplicate auction rows admit
+    # the same winning bid, see _auction_rows)
+    aidx = _auction_rows(auction)
+    best: dict[int, tuple] = {}   # a → (price, ts, seller) winner
     for i in range(len(bid["auction"])):
         a = int(bid["auction"][i])
-        j = aidx.get(a)
-        if j is None:
+        rows_ = aidx.get(a)
+        if rows_ is None:
             continue
         t = int(bid["b_date_time"][i])
-        if not (auction["a_date_time"][j] <= t <= auction["expires"][j]):
-            continue
         p = int(bid["price"][i])
-        cur = best.get(a)
-        if cur is None or (p, -t) > (cur[0], -cur[1]):
-            best[a] = (p, t)
+        for j in rows_:
+            if not (auction["a_date_time"][j] <= t <= auction["expires"][j]):
+                continue
+            s = int(auction["seller"][j])
+            cur = best.get(a)
+            if cur is None or (p, -t, -s) > (cur[0], -cur[1], -cur[2]):
+                best[a] = (p, t, s)
     # per seller: last 10 winners by (b_date_time desc, auction asc)
     per_seller: dict[int, list] = {}
-    for a, (p, t) in best.items():
-        s = int(auction["seller"][aidx[a]])
+    for a, (p, t, s) in best.items():
         per_seller.setdefault(s, []).append((t, a, p))
     sellers, avgs = [], []
     for s in sorted(per_seller):
