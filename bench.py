@@ -131,12 +131,35 @@ def bench_query(qnum: int, seconds: int, eps: int, repeats: int = 3):
         _np.asarray(outs[-1].valid[:1])
         best = min(best, time.perf_counter() - t0)
 
+    # feed-INCLUSIVE pipelined rate: host→device staging of window k+1 is
+    # issued (async device_put) BEFORE window k executes, so transfer rides
+    # under compute — the double-buffered production shape (SURVEY §7.2
+    # step 5).  Wall ≈ max(feed, compute) when the transport overlaps; the
+    # remote tunnel serializes transfers, so there this is an upper bound
+    # on feed cost, reported next to the compute-only number.
+    best_incl = float("inf")
+    for _ in range(min(repeats, 3)):
+        t0 = time.perf_counter()
+        prev = None
+        outs = []
+        for t in windows:
+            nxt = jax.device_put(executor.prepare_window(t, caps))
+            if prev is not None:
+                outs.append(executor.execute_batches(prev,
+                                                     check_overflow=False))
+            prev = nxt
+        outs.append(executor.execute_batches(prev, check_overflow=False))
+        _np.asarray(outs[-1].valid[:1])
+        best_incl = min(best_incl, time.perf_counter() - t0)
+
     r = {
         "query": qnum,
         "rows_in": rows_in,
         "wall_time_s": best,
         "rtt_s": round(rtt, 4),
         "rows_per_s": rows_in / best,
+        "feed_incl_wall_s": best_incl,
+        "rows_per_s_feed_inclusive": rows_in / best_incl,
         "gen_time_s": gen_dt,
         "feed_time_s": feed_dt,
         "windows": len(windows),
@@ -192,9 +215,20 @@ def bench_stream_query(qnum: int, seconds: int, eps: int, repeats: int = 3):
         t0 = time.perf_counter()
         results = driver.run(epochs, prestaged=staged)
         best = min(best, time.perf_counter() - t0)
+    # feed-inclusive: the driver stages each epoch as it arrives (async
+    # device_put inside the run loop) — transfer overlaps the host
+    # sessionization + device execution of earlier epochs
+    best_incl = float("inf")
+    for _ in range(min(repeats, 2)):
+        t0 = time.perf_counter()
+        driver.run(epochs)
+        best_incl = min(best_incl, time.perf_counter() - t0)
     return {
         "query": qnum, "rows_in": rows_in, "wall_time_s": best,
-        "rows_per_s": rows_in / best, "gen_time_s": gen_dt,
+        "rows_per_s": rows_in / best,
+        "feed_incl_wall_s": best_incl,
+        "rows_per_s_feed_inclusive": rows_in / best_incl,
+        "gen_time_s": gen_dt,
         "feed_time_s": feed_dt, "windows": len(results),
         "mode": "streaming_driver",
     }

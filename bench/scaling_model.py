@@ -1,0 +1,205 @@
+"""Quantitative scaling artifact: trace-time collective byte accounting +
+projected multi-chip efficiency (SCALING_r04.json).
+
+Real multi-chip hardware is unavailable (one tunneled v5e chip), so this
+substitutes a MEASURABLE model instead of nothing:
+
+1. the SPMD program for each query is traced on an n-shard virtual mesh with
+   the shuffle layer's byte tally enabled (parallel/shuffle.TALLY) — shapes
+   are static, so per-shard ICI bytes per window are exact, not sampled;
+2. compute time per shard is the measured single-chip wall time
+   (BENCH_QUERIES.json) divided by n (row-parallel stages divide evenly;
+   the final ≤spans-sized reduction is counted as non-parallel residue);
+3. comm time = ici_bytes / ICI_BW + n_collectives · ICI_LATENCY, overlapped
+   fraction 0 (worst case — XLA can overlap collectives with compute).
+
+Projected efficiency E(n) = T1 / (n · (T1/n + comm(n))).
+
+Assumptions (stated in the artifact): v5e ICI = 1600 Gbit/s per chip
+(Google Cloud v5e spec) ⇒ 100 GB/s effective per direction; per-collective
+launch latency 5 µs.  CPU-mesh measured numbers are NOT used for efficiency
+(2-vCPU host contention makes them meaningless — disclaimed in round 2/3);
+this model replaces them.
+
+Usage:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python bench/scaling_model.py [--out SCALING_r04.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ICI_GBPS = 100.0          # GB/s per chip each direction (1600 Gbit/s spec)
+ICI_LAT_S = 5e-6          # per-collective launch latency
+SHARDS = (1, 2, 4, 8)
+
+
+def _trace_bytes(qnum, n_shards: int, rows_per_shard: dict[str, int]):
+    """Trace the distributed program on an n-shard mesh with the tally on;
+    returns (records, n_collectives)."""
+    import jax
+
+    from flock_tpu.batch import Batch, round_up
+    import flock_tpu.parallel.executor as pex
+    import flock_tpu.parallel.shuffle as shuffle
+    from flock_tpu.queries.nexmark import get_query
+    from flock_tpu.queries.ysb import ysb_query
+
+    spec = ysb_query() if qnum == "ysb" else get_query(qnum)
+    ex = pex.DistributedExecutor(spec, n_shards)
+
+    # schema discovery from a minimal generated epoch
+    from flock_tpu.runtime.stream import generate_epochs
+    from flock_tpu.runtime.tables import concat_relations, default_side_input
+
+    if qnum == "ysb":
+        from flock_tpu.datagen.ysb import YsbConfig
+        from flock_tpu.queries.ysb import campaign_table, generate_ysb_epochs
+
+        cfg = YsbConfig(seconds=1, events_per_second=2000)
+        ep = generate_ysb_epochs(cfg)[0]
+        tables = {"ad_event": ep["ad_event"], "campaign": campaign_table(cfg)}
+    else:
+        epochs = generate_epochs(1, 4000)
+        tables = dict(concat_relations(
+            epochs, tuple(r for r in spec.relations if r != "side_input")))
+        if "side_input" in spec.relations:
+            tables["side_input"] = default_side_input()
+
+    # realistic capacities: bench-scale rows per shard
+    col_names = []
+    abstract = []
+    import jax.numpy as jnp
+
+    for rel in sorted(tables):
+        names = tuple(sorted(tables[rel]))
+        cap = max(round_up(rows_per_shard.get(rel, 128)), 128)
+        nrows = len(next(iter(tables[rel].values())))
+        b = Batch.from_numpy({n: tables[rel][n] for n in names},
+                             max(round_up(nrows), 128))
+        col_names.append((rel, names, cap))
+        for n in names:
+            abstract.append(jax.ShapeDtypeStruct(
+                (n_shards, cap), b.columns[n].dtype))
+        abstract.append(jax.ShapeDtypeStruct((n_shards, cap), jnp.bool_))
+
+    from flock_tpu.config import CONFIG
+
+    agg_cap = max(c for _, _, c in col_names) + CONFIG.agg_span_margin
+    pex._DIST_COMPILED.clear()
+    cap_sig = tuple((rel, cap) for rel, _, cap in col_names)
+    fm, _names = ex._fn(cap_sig, agg_cap, tuple(col_names))
+
+    shuffle.TALLY = records = []
+    try:
+        jax.eval_shape(fm, *abstract)
+    finally:
+        shuffle.TALLY = None
+    pex._DIST_COMPILED.clear()
+    return records
+
+
+def main():
+    # force the 8-device virtual CPU mesh even when the axon TPU plugin
+    # self-registers from sitecustomize (same dance as tests/conftest.py)
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="SCALING_r04.json")
+    ap.add_argument("--bench", default="BENCH_QUERIES.json",
+                    help="measured single-chip numbers (compute times)")
+    args = ap.parse_args()
+
+    bench = {}
+    if os.path.exists(args.bench):
+        doc = json.load(open(args.bench))
+        for r in doc.get("results", []):
+            bench[str(r.get("query"))] = r
+
+    queries = ["3", "4", "5", "ysb"]
+    out = {
+        "assumptions": {
+            "ici_GBps_per_chip": ICI_GBPS,
+            "ici_latency_s": ICI_LAT_S,
+            "note": ("per-shard ICI bytes counted at trace time from static "
+                     "collective shapes (parallel/shuffle.TALLY); compute "
+                     "divides by n (row-parallel stages); comm NOT overlapped "
+                     "with compute (worst case). CPU-mesh wall times are "
+                     "excluded: the 2-vCPU host measures contention, not "
+                     "scaling (see BENCH_NOTES rounds 2-3)."),
+            "q11_note": ("session windows shuffle only per-key label tables "
+                         "+ closed-session partials (parallel/stream.py); "
+                         "their collective volume is bounded by the q5-style "
+                         "per-key row, so q5's projection is the bound."),
+        },
+        "queries": {},
+    }
+
+    for q in queries:
+        rec = bench.get(q, {})
+        rows = rec.get("rows_in", 15_678_040)
+        t1 = rec.get("wall_time_s")
+        windows = max(rec.get("windows", 4), 1)
+        per_q = {"rows_in": rows, "measured_single_chip_wall_s": t1,
+                 "windows": windows, "shards": {}}
+        for n in SHARDS:
+            rows_shard = {
+                "bid": rows // max(windows, 1) // n,
+                "auction": rows // max(windows, 1) * 3 // 50 // n,
+                "person": rows // max(windows, 1) // 50 // n,
+                "side_input": 10_000,
+                "ad_event": rows // max(windows, 1) // n,
+                "campaign": 1000,
+            }
+            try:
+                recs = _trace_bytes(q if q == "ysb" else int(q), n, rows_shard)
+            except Exception as e:  # noqa: BLE001
+                per_q["shards"][str(n)] = {"error": str(e)[:200]}
+                continue
+            ici = sum(r["ici_bytes_per_shard"] for r in recs)
+            n_coll = len(recs)
+            comm_s = (ici / (ICI_GBPS * 1e9) + n_coll * ICI_LAT_S) * windows
+            entry = {
+                "ici_bytes_per_shard_per_window": ici,
+                "collectives_per_window": n_coll,
+                "by_op": {},
+                "projected_comm_s": comm_s,
+            }
+            for r in recs:
+                entry["by_op"].setdefault(r["op"], 0)
+                entry["by_op"][r["op"]] += r["ici_bytes_per_shard"]
+            if t1:
+                tn = t1 / n + comm_s
+                entry["projected_wall_s"] = tn
+                entry["projected_efficiency"] = t1 / (n * tn)
+                entry["projected_rows_per_s_total"] = rows / tn
+            per_q["shards"][str(n)] = entry
+        out["queries"][q] = per_q
+
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(json.dumps({"wrote": args.out,
+                      "queries": {q: {n: v.get("projected_efficiency")
+                                      for n, v in out["queries"][q]["shards"].items()}
+                                  for q in out["queries"]}}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -209,10 +209,20 @@ def dense_group_aggregate(
 
     s_loc = min(s_loc or AGG_S_LOC, out_capacity)
     n = valid.shape[0]
+    import os as _os
+
     from flock_tpu.pallas import agg as pallas_agg
+    from flock_tpu.pallas import factored
     from flock_tpu.pallas import join_agg as _pj
 
-    if _pj.enabled() and pallas_agg.local_preferred(list(aggs)) \
+    if factored.enabled() and factored.agg_preferred(list(aggs)) \
+            and factored.agg_eligible(list(aggs), n, s_loc):
+        # factored hi⊗lo kernel: count/sum ride ONE MXU matmul of two small
+        # one-hots; min/max use a tight-window masked reduce (pallas/factored)
+        b_out, b_valid, escape = factored.pallas_factored_agg(
+            cols[key], valid, agg_cols, list(aggs), out_capacity,
+            s_loc=s_loc)
+    elif _pj.enabled() and pallas_agg.local_preferred(list(aggs)) \
             and pallas_agg.local_eligible(list(aggs), n, s_loc):
         # Pallas path: span accumulators live in VMEM across the grid
         # instead of round-tripping HBM per block; integer sums use 8-bit
@@ -437,11 +447,25 @@ def lookup_join(
     pad = (-n) % AGG_BLOCK
     take_list = list(take)
     slot_arrays = {src: slots[src] for src in take_list}
-    gathered, hit, escape = blocked.blocked_local_join(
-        slot_arrays, present, m,
-        jnp.pad(pk, (0, pad)), jnp.pad(probe_valid, (0, pad)),
-        take_list, block=min(AGG_BLOCK, n + pad),
-        s_loc=min(probe_s_loc or AGG_S_LOC, span))
+    import os as _os
+
+    from flock_tpu.pallas import factored
+
+    eff_s_loc = min(probe_s_loc or AGG_S_LOC, span)
+    if factored.enabled() and factored.join_preferred() \
+            and eff_s_loc <= 2048 \
+            and all(a.dtype == jnp.int32 for a in slot_arrays.values()):
+        # factored matmul gather (pallas/factored): build cols reach probe
+        # rows through oh_hi @ window matmuls instead of [B, s_loc] one-hots
+        # returns [n] directly (downstream [:n] slices are no-ops)
+        gathered, hit, escape = factored.pallas_factored_gather(
+            slot_arrays, present, m, pk, probe_valid, take_list,
+            s_loc=eff_s_loc)
+    else:
+        gathered, hit, escape = blocked.blocked_local_join(
+            slot_arrays, present, m,
+            jnp.pad(pk, (0, pad)), jnp.pad(probe_valid, (0, pad)),
+            take_list, block=min(AGG_BLOCK, n + pad), s_loc=eff_s_loc)
 
     import os
     if os.environ.get("FLOCK_TPU_NO_FALLBACK"):

@@ -130,7 +130,7 @@ def lower_dist(node: Node, tables: dict, ctx: _Ctx):
 
     if isinstance(node, Join):
         bcols, bvalid, o1 = lower_dist(node.build, tables, ctx)
-        gcols, gvalid = broadcast_gather(bcols, bvalid, ctx.axis)
+        gcols, gvalid = broadcast_gather(bcols, bvalid, ctx.axis, ctx.n_shards)
         pcols, pvalid, o2 = lower_dist(node.probe, tables, ctx)
         cols, valid, o3 = kernels.lookup_join(
             gcols, gvalid, node.build_key, pcols, pvalid, node.probe_key,
@@ -167,7 +167,7 @@ def lower_dist(node: Node, tables: dict, ctx: _Ctx):
             # at small inputs; also the general path for key shapes the
             # composite routing key can't express (>2 keys, floats, two
             # int64 keys)
-            gcols, gvalid = broadcast_gather(cols, valid, ctx.axis)
+            gcols, gvalid = broadcast_gather(cols, valid, ctx.axis, ctx.n_shards)
             scols, svalid = kernels.sort_rows(gcols, gvalid,
                                               list(node.keys), desc)
             mine = jax.lax.axis_index(ctx.axis) == 0
@@ -217,7 +217,7 @@ def lower_dist(node: Node, tables: dict, ctx: _Ctx):
         if node.fallback is not None and not fused_dtypes_supported(
                 node, bcols, pcols):
             return lower_dist(node.fallback, tables, ctx)
-        gcols, gvalid = broadcast_gather(bcols, bvalid, ctx.axis)
+        gcols, gvalid = broadcast_gather(bcols, bvalid, ctx.axis, ctx.n_shards)
         out, valid, ovf_b, esc, span = fused_local_pass(
             node, gcols, gvalid, pcols, pvalid)
         needs_fb = (esc | ovf_b).reshape(())

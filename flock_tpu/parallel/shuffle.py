@@ -22,6 +22,20 @@ from jax import lax
 
 from flock_tpu.parallel.mesh import AXIS
 
+# Trace-time collective tally: when a list is installed here (see
+# bench/scaling_model.py), every collective below appends a record with its
+# STATIC per-shard ICI byte count while the SPMD program traces.  Shapes are
+# static, so the tally is exact per execution — the instrumentation the
+# reference gets from CloudWatch byte metrics (aws/cloudwatch.rs), computed
+# at compile time instead of run time.
+TALLY: list | None = None
+
+
+def _tally(op: str, ici_bytes_per_shard: int, detail: str = "") -> None:
+    if TALLY is not None:
+        TALLY.append({"op": op, "ici_bytes_per_shard": int(ici_bytes_per_shard),
+                      "detail": detail})
+
 
 def hash32(keys: list[jax.Array]) -> jax.Array:
     """Deterministic int32 hash combine (Fibonacci mix per key)."""
@@ -73,11 +87,15 @@ def all_to_all_by_dest(cols: dict[str, jax.Array], valid: jax.Array,
     for n in names:
         buf = jnp.zeros((n_shards * per_dest_cap,), scols[n].dtype).at[slot].set(
             scols[n], mode="drop")
+        _tally("all_to_all",
+               buf.nbytes * (n_shards - 1) // max(n_shards, 1), n)
         out_cols[n] = lax.all_to_all(
             buf.reshape(n_shards, per_dest_cap), axis, 0, 0, tiled=True
         ).reshape(-1)
     vbuf = jnp.zeros((n_shards * per_dest_cap,), bool).at[slot].set(
         in_range, mode="drop")
+    _tally("all_to_all", vbuf.nbytes * (n_shards - 1) // max(n_shards, 1),
+           "valid")
     out_valid = lax.all_to_all(
         vbuf.reshape(n_shards, per_dest_cap), axis, 0, 0, tiled=True
     ).reshape(-1)
@@ -87,8 +105,13 @@ def all_to_all_by_dest(cols: dict[str, jax.Array], valid: jax.Array,
 
 
 def broadcast_gather(cols: dict[str, jax.Array], valid: jax.Array,
-                     axis: str = AXIS):
-    """all_gather every shard's rows (broadcast-build for lookup joins)."""
-    out_cols = {n: lax.all_gather(v, axis, tiled=True) for n, v in cols.items()}
+                     axis: str = AXIS, n_shards: int = 1):
+    """all_gather every shard's rows (broadcast-build for lookup joins).
+    ``n_shards`` is only used for the trace-time byte tally."""
+    out_cols = {}
+    for n, v in cols.items():
+        # each shard RECEIVES (n_shards-1) remote copies of the buffer
+        _tally("all_gather", int(v.nbytes) * max(n_shards - 1, 0), n)
+        out_cols[n] = lax.all_gather(v, axis, tiled=True)
     out_valid = lax.all_gather(valid, axis, tiled=True)
     return out_cols, out_valid

@@ -370,8 +370,20 @@ def fused_local_pass(node: "FusedJoinAggregate",
     # probe-side locality window: the plan's statistics hint (e.g.
     # S_LOC_AUCTION_OVER_BID, derived from the generator's frontier math)
     # halves the one-hot op count vs the 1024 default when it applies
+    import os as _os
+
+    from flock_tpu.pallas import factored
+
     s_loc = jn.probe_s_loc or AGG_S_LOC
-    if join_agg.fused_preferred() and join_agg.eligible(
+    if factored.enabled() and factored.join_preferred() \
+            and s_loc <= 2048 and factored.join_agg_eligible(
+                slot_cols, pcols, replay, list(node.aggs)):
+        # factored gather→row-filter→aggregate (pallas/factored): the join
+        # never materializes and no [B, s_loc] one-hot is ever built
+        out, ovalid, esc = factored.factored_join_agg_rebased(
+            slot_cols, present, m, pcols, pvalid, jn.probe_key, replay,
+            list(node.aggs), s_loc=s_loc)
+    elif join_agg.fused_preferred() and join_agg.eligible(
             slot_cols, pcols, replay, list(node.aggs)):
         # Pallas path (opt-in, FLOCK_TPU_PALLAS=2): span accumulators live in
         # VMEM across the grid instead of round-tripping HBM per block (int64
