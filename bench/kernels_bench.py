@@ -90,12 +90,37 @@ def _time(fn, *args, iters=16):
         t0 = time.perf_counter()
         np.asarray(cf(*flat))
         best = min(best, time.perf_counter() - t0)
-    # sub-RTT totals are control-latency-bound: report the UPPER bound
-    # total/iters rather than a garbage subtraction (callers see time_s as a
-    # bound; heavy kernels all run well past RTT at their iteration counts)
-    if best - rtt < rtt:
-        return best / iters
-    return (best - rtt) / iters
+    if best - rtt >= rtt:
+        return (best - rtt) / iters
+    # RTT-bound: the kernel is faster than the tunnel round-trip at this
+    # iteration count.  Re-measure with iters scaled so device time ≥ 4×RTT
+    # (round-3 artifacts reported such cases as upper bounds; the rescale
+    # makes them honest measurements instead)
+    need = max(iters * 2, int(iters * 6 * rtt / max(best, 1e-9)))
+    need = min(need, 8192)
+
+    def chained_n(*leaves):
+        args2 = jax.tree.unflatten(treedef, leaves)
+
+        def body(i, carry):
+            out = fn(*_perturb(args2, carry))
+            dep = jnp.int32(0)
+            for leaf in jax.tree.leaves(out):
+                dep = dep + leaf.reshape(-1)[0].astype(jnp.int32)
+            return carry + dep
+
+        return lax.fori_loop(0, need, body, jnp.int32(0))
+
+    cfn = jax.jit(chained_n)
+    np.asarray(cfn(*flat))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(cfn(*flat))
+        best = min(best, time.perf_counter() - t0)
+    if best - rtt < rtt:          # still RTT-bound: report the upper bound
+        return best / need
+    return (best - rtt) / need
 
 
 def _perturb(args, carry):
@@ -243,6 +268,35 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"kernel": "pallas_agg_sum_count_max",
                           "error": str(e)[:120]}))
+
+    # FACTORED hi⊗lo pallas kernels (pallas/factored.py, round 4): count/sum
+    # collapse to MXU matmuls of two small one-hots; min/max keep a tight-
+    # window masked reduce.  ops model: build n·(128+nhi) + matmul n·R·W_a
+    # (counted as MXU MACs) + minmax 3·n·W_t when present
+    try:
+        from flock_tpu.pallas import factored as fct
+        fc = jax.jit(lambda c, v: fct.pallas_factored_agg(
+            c["k"], v, {"v": c["v"]},
+            [(None, "count", "cnt"), ("v", "sum", "s")], span,
+            block=8192, s_loc=1024))
+        report("factored_agg_count_sum",
+               _time(fc, {"k": key, "v": val}, valid, iters=64),
+               n * 9 + span * 16, ops=n * (128 + 24 * 5) + n * 5 * 3072)
+        fcm = jax.jit(lambda c, v: fct.pallas_factored_agg(
+            c["k"], v, {"v": c["v"]},
+            [(None, "count", "cnt"), ("v", "max", "mx")], span,
+            block=8192, s_loc=1024))
+        report("factored_agg_count_max",
+               _time(fcm, {"k": key, "v": val}, valid, iters=32),
+               n * 9 + span * 12, ops=n * 2048 * 3)
+        fg = jax.jit(lambda b, bp, p_, pv: fct.pallas_factored_gather(
+            b, bp, jnp.int32(0), p_["k"], pv, ["v"], block=8192, s_loc=512))
+        report("factored_gather_1col",
+               _time(fg, {"v": bval}, jnp.asarray(np.ones(span, bool)),
+                     {"k": key}, valid, iters=32),
+               n * 13 + span * 8)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"kernel": "factored_agg", "error": str(e)[:120]}))
 
     # fused join+aggregate (q4/q9 core): pallas vs XLA at identical shapes.
     # bytes: probe key+price+ts (12B) + valid (1B) once; span-side slots

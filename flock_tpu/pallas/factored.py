@@ -73,18 +73,17 @@ def enabled() -> bool:
 
 
 def agg_preferred(aggs) -> bool:
-    """Evidence-based default (probed on v5e, round 4): count/sum-only
-    aggregations compile and beat the XLA blocked path (5.8 ms vs 13-22 ms
-    per 4M rows); min/max variants currently crash the backend Mosaic
-    compiler (opaque remote-compile 500) and stay opt-in via
-    FLOCK_TPU_FACTORED=1 until fixed."""
+    """Evidence-based default (measured v5e, round 4, RTT-amortized):
+    count/sum aggregations run ~2.6 ms per 4M rows vs 13-22 ms for the XLA
+    blocked scan (5-8×); with min/max present the masked reduce dominates
+    (~10 ms) — parity on count+max, 1.6× ahead on sum+count+max — so the
+    factored kernel is preferred whenever eligible.  FLOCK_TPU_NO_FACTORED=1
+    restores the previous dispatch."""
     import os
 
     if os.environ.get("FLOCK_TPU_FACTORED") == "1":
         return True
-    if os.environ.get("FLOCK_TPU_NO_FACTORED"):
-        return False
-    return not any(fn in ("min", "max") for _, fn, _ in aggs)
+    return not os.environ.get("FLOCK_TPU_NO_FACTORED")
 
 
 def join_preferred() -> bool:
@@ -158,18 +157,22 @@ def _oh_hi(hi, nhi, block):
 
 def _masked_minmax(rel_t, ok, vals, w_t, fn):
     """Tight-window masked reduction, tiled over row chunks (bounds the
-    [rows, W_t] int32 temporary to _ROWCHUNK·W_t·4 bytes)."""
+    [rows, W_t] int32 temporary to _ROWCHUNK·W_t·4 bytes).
+
+    The row mask folds into the index as a sentinel BEFORE the broadcast
+    compare: a [N,1] bool broadcast against [N,W] crashes the backend
+    Mosaic compiler (probed round 4), a plain == compare does not."""
     block = rel_t.shape[0]
     sent = _SENTINEL[fn]
     red = jnp.min if fn == "min" else jnp.max
     mrg = jnp.minimum if fn == "min" else jnp.maximum
+    rel_c = jnp.where(ok, rel_t, w_t)          # w_t → matches no window slot
     out = jnp.full((w_t,), sent, jnp.int32)
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (_ROWCHUNK, w_t), 1)
     for c in range(0, block, _ROWCHUNK):
-        r = rel_t[c:c + _ROWCHUNK]
-        o = ok[c:c + _ROWCHUNK]
+        r = rel_c[c:c + _ROWCHUNK]
         v = vals[c:c + _ROWCHUNK]
-        hit = (r[:, None] == iota_t) & o[:, None]
+        hit = r[:, None] == iota_t
         out = mrg(out, red(jnp.where(hit, v[:, None], sent), axis=0))
     return out
 
@@ -199,30 +202,41 @@ def _load_window(ref, base_a, w_a):
     return jnp.concatenate(chunks)
 
 
-def _gather_rows(hi, oh_lo, base_a, w_a, present_ref, slot_refs, slot_names,
+def _gather_rows(hi, oh_lo, base_a, w_a, packed_ref, span_pad, slot_names,
                  block):
     """Gather presence + slot columns to rows: ONE [B,nhi] @ [nhi, C·128]
     MXU matmul over 8-bit limb windows, then an oh_lo-weighted row sum.
-    Returns (g [B, 1+4C] f32, limb_idx)."""
+
+    ``packed_ref`` holds present + every slot column FLATTENED into one
+    [(1+C)·span_pad] int32 ref — a kernel with two or more span-shaped input
+    refs crashes the backend Mosaic compiler (probed round 4), one packed
+    ref with 1024-aligned per-plane offsets lowers fine.
+    Returns (g: list of [B] f32, limb_idx)."""
     nhi = w_a // 128
-    wins = [_load_window(present_ref, base_a, w_a).astype(jnp.bfloat16)]
+    wins = [_load_window(packed_ref, base_a, w_a).astype(jnp.bfloat16)]
     limb_idx = []
-    for c in slot_names:
-        v = _load_window(slot_refs[c], base_a, w_a)
+    for ci, c in enumerate(slot_names):
+        v = _load_window(packed_ref, (ci + 1) * span_pad + base_a, w_a)
         for j in range(4):
             # top limb stays signed so the shift reconstruction preserves
             # negative int32 values (bf16-exact: −128..255)
             limb = ((v >> (8 * j)) & 0xFF) if j < 3 else (v >> 24)
             wins.append(limb.astype(jnp.bfloat16))
             limb_idx.append((c, j))
-    rhs = jnp.concatenate([w.reshape(nhi, 128) for w in wins], axis=1)
-    m2 = jnp.dot(_oh_hi(hi, nhi, block), rhs,
-                 preferred_element_type=jnp.float32)     # [B, C'·128]
-    # per-window-column 2-D lane reductions (a 3-D [B, C', 128] temporary
-    # does not lower in Mosaic — probed round 4)
+    # matmul in groups of ≤8 window planes: a 2-D minor dim must be a
+    # 128-multiple ≤ 1024 (or a 1024-multiple) to lower in Mosaic (probed
+    # round 4 — 1152/1664 crash the backend, 640/1024/2048 are fine)
+    oh_hi = _oh_hi(hi, nhi, block)
     oh_lo_f = oh_lo.astype(jnp.float32)
-    g = [jnp.sum(m2[:, c * 128:(c + 1) * 128] * oh_lo_f, axis=1)
-         for c in range(len(wins))]
+    g = []
+    for g0 in range(0, len(wins), 8):
+        grp = wins[g0:g0 + 8]
+        rhs = jnp.concatenate([w.reshape(nhi, 128) for w in grp], axis=1)
+        m2 = jnp.dot(oh_hi, rhs, preferred_element_type=jnp.float32)
+        # per-window-column 2-D lane reductions (a 3-D [B, C', 128]
+        # temporary does not lower in Mosaic)
+        g.extend(jnp.sum(m2[:, c * 128:(c + 1) * 128] * oh_lo_f, axis=1)
+                 for c in range(len(grp)))
     return g, limb_idx
 
 
@@ -428,11 +442,10 @@ def pallas_factored_agg(keys, valid, agg_cols, aggs, out_capacity: int,
 def _gather_kernel(m_ref, keys_ref, valid_ref, *refs, slot_names,
                    s_loc, span_pad, block):
     ns = len(slot_names)
-    slot_refs = dict(zip(slot_names, refs[:ns]))
-    present_ref = refs[ns]
-    out_refs = refs[ns + 1:2 * ns + 1]
-    hit_out, esc_out = refs[2 * ns + 1:2 * ns + 3]
-    esc_acc = refs[2 * ns + 3]
+    packed_ref = refs[0]
+    out_refs = refs[1:ns + 1]
+    hit_out, esc_out = refs[ns + 1:ns + 3]
+    esc_acc = refs[ns + 3]
 
     i = pl.program_id(0)
 
@@ -454,8 +467,8 @@ def _gather_kernel(m_ref, keys_ref, valid_ref, *refs, slot_names,
         esc_acc[0] = jnp.int32(1)
 
     oh_lo = _oh_lo(lo, block)
-    g, limb_idx = _gather_rows(hi, oh_lo, base_a, w_a, present_ref,
-                               slot_refs, slot_names, block)
+    g, limb_idx = _gather_rows(hi, oh_lo, base_a, w_a, packed_ref,
+                               span_pad, slot_names, block)
     hit_out[:] = ((g[0] > 0.5) & ok).astype(jnp.int32)
     gathered = _combine_gathered(g, limb_idx, slot_names, block)
     for ci, c in enumerate(slot_names):
@@ -480,24 +493,27 @@ def pallas_factored_gather(slot_cols, present, m, probe_keys, probe_valid,
     kp = jnp.pad(probe_keys, (0, pad))
     vp = jnp.pad(probe_valid, (0, pad)).astype(jnp.int32)
     slot_names = tuple(take)
-    slots = [jnp.pad(slot_cols[c].astype(jnp.int32), (0, spad))
-             for c in slot_names]
-    pres = jnp.pad(present, (0, spad)).astype(jnp.int32)
+    # present + slot columns flattened into ONE span input (≥2 span-shaped
+    # input refs crash the backend compiler — see _gather_rows)
+    packed = jnp.concatenate(
+        [jnp.pad(present, (0, spad)).astype(jnp.int32)]
+        + [jnp.pad(slot_cols[c].astype(jnp.int32), (0, spad))
+           for c in slot_names])
     grid = ((n + pad) // block,)
 
     kernel = functools.partial(
         _gather_kernel, slot_names=slot_names, s_loc=s_loc,
         span_pad=span_pad, block=block)
     blockspec = pl.BlockSpec((block,), lambda i, *_: (i,))
-    spanspec = pl.BlockSpec((span_pad,), lambda i, *_: (0,))
+    packspec = pl.BlockSpec(((len(slot_names) + 1) * span_pad,),
+                            lambda i, *_: (0,))
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=grid,
-                in_specs=([blockspec] * 2
-                          + [spanspec] * (len(slot_names) + 1)),
+                in_specs=[blockspec] * 2 + [packspec],
                 out_specs=([blockspec] * (len(slot_names) + 1)
                            + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
                 scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
@@ -508,7 +524,7 @@ def pallas_factored_gather(slot_cols, present, m, probe_keys, probe_valid,
             interpret=interpret,
         )(jnp.stack([m.astype(jnp.int32),
                      jnp.asarray(span, jnp.int32) + m * 0]),
-          kp, vp, *slots, pres)
+          kp, vp, packed)
 
     out = {c: outs[i][:n] for i, c in enumerate(slot_names)}
     hit = outs[len(slot_names)][:n] > 0
@@ -526,9 +542,8 @@ def _join_agg_kernel(m_ref, *refs, probe_names, slot_names, replay, aggs,
     nacc = sum(widths)
     probe_refs = dict(zip(probe_names, refs[:np_]))
     valid_ref = refs[np_]
-    slot_refs = dict(zip(slot_names, refs[np_ + 1:np_ + 1 + ns]))
-    present_ref = refs[np_ + 1 + ns]
-    base = np_ + 2 + ns
+    packed_ref = refs[np_ + 1]
+    base = np_ + 2
     out_refs = refs[base:base + nacc]
     cnt_out, esc_out = refs[base + nacc:base + nacc + 2]
     accs = refs[base + nacc + 2:base + 2 * nacc + 2]
@@ -563,8 +578,8 @@ def _join_agg_kernel(m_ref, *refs, probe_names, slot_names, replay, aggs,
 
     # 1) gather presence + every taken build column to the probe rows
     oh_lo = _oh_lo(lo, block)
-    g, limb_idx = _gather_rows(hi, oh_lo, base_a, w_a, present_ref,
-                               slot_refs, slot_names, block)
+    g, limb_idx = _gather_rows(hi, oh_lo, base_a, w_a, packed_ref,
+                               span_pad, slot_names, block)
     hit = (g[0] > 0.5) & ok
     cols = {k: r[:] for k, r in probe_refs.items()}
     cols.update(_combine_gathered(g, limb_idx, slot_names, block))
@@ -607,9 +622,10 @@ def pallas_factored_join_agg(slot_cols, present, m, probe_cols, probe_valid,
     span_pad = max(_round_up(span0, 1024), w_a)
     spad = span_pad - span0
     slot_names = tuple(sorted(slot_cols))
-    slots = [jnp.pad(slot_cols[c].astype(jnp.int32), (0, spad))
-             for c in slot_names]
-    pres = jnp.pad(present, (0, spad)).astype(jnp.int32)
+    packed = jnp.concatenate(
+        [jnp.pad(present, (0, spad)).astype(jnp.int32)]
+        + [jnp.pad(slot_cols[c].astype(jnp.int32), (0, spad))
+           for c in slot_names])
     pad = (-n) % block
     pcols = {k: jnp.pad(v, (0, pad)) for k, v in probe_cols.items()}
     pvalid = jnp.pad(probe_valid, (0, pad)).astype(jnp.int32)
@@ -631,7 +647,9 @@ def pallas_factored_join_agg(slot_cols, present, m, probe_cols, probe_valid,
                 num_scalar_prefetch=1,
                 grid=grid,
                 in_specs=([blockspec] * (len(probe_names) + 1)
-                          + [spanspec] * (len(slot_names) + 1)),
+                          + [pl.BlockSpec(
+                              ((len(slot_names) + 1) * span_pad,),
+                              lambda i, *_: (0,))]),
                 out_specs=([spanspec] * (nacc + 1)
                            + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
                 scratch_shapes=([pltpu.VMEM((span_pad,), jnp.int32)]
@@ -644,7 +662,7 @@ def pallas_factored_join_agg(slot_cols, present, m, probe_cols, probe_valid,
             interpret=interpret,
         )(jnp.stack([m.astype(jnp.int32),
                      jnp.asarray(span0, jnp.int32) + m * 0]),
-          *[pcols[k] for k in probe_names], pvalid, *slots, pres)
+          *[pcols[k] for k in probe_names], pvalid, packed)
 
     return _combine_outputs(outs, aggs, widths, span0, m, jnp.int32)
 

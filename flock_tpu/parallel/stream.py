@@ -24,6 +24,99 @@ from flock_tpu.runtime.stream import SessionState, StreamDriver, WindowResult
 from flock_tpu.runtime.tables import concat_relations, default_side_input
 
 
+_DIST_SESS_COMPILED: dict = {}
+
+
+def _dist_session_exec(executor, spec, staged_chunks, cids, rank_tab,
+                       ok_tab, end_tab, cmin, k, agg_cap):
+    """One SPMD dispatch: label + filter mesh-resident session chunk rows
+    from broadcast dense tables, then run the plan with distributed
+    lowering (partial agg → all_to_all by __session → final agg).
+
+    ``staged_chunks``: dicts of col → [n_shards, cap] mesh-sharded arrays
+    (plus ``__valid``); the tables are O(key-span) and replicated — the
+    distributed port of runtime/executor._run_plan_session_tables."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from flock_tpu.parallel.executor import _Ctx, lower_dist
+    from flock_tpu.parallel.mesh import AXIS
+    from flock_tpu.plan import fuse_join_aggregates
+    from flock_tpu.runtime.executor import OverflowError
+
+    key_col = SessionState.key
+    rel = next(r for r in spec.relations if r != "side_input")
+    names = tuple(sorted(c for c in staged_chunks[0] if c != "__valid"))
+    cap_sig = tuple(next(iter(ch.values())).shape[1] for ch in staged_chunks)
+    span_bucket = len(rank_tab)
+    n_chunks = len(staged_chunks)
+    ck = (spec.plan, executor.n_shards, executor.mesh, cap_sig, names,
+          span_bucket, agg_cap)
+    if ck not in _DIST_SESS_COMPILED:
+        spec_plan = fuse_join_aggregates(spec.plan)
+        ctx = _Ctx(executor.n_shards, agg_cap)
+        per = len(names) + 1
+        names_box = {}
+
+        def local_fn(*flat):
+            chunk_data = []
+            i = 0
+            for _c in range(n_chunks):
+                cc = {n: flat[i + j][0] for j, n in enumerate(names)}
+                v = flat[i + per - 1][0]
+                i += per
+                chunk_data.append((cc, v))
+            rank_t, ok_t, end_t, scal = flat[i], flat[i + 1], flat[i + 2], \
+                flat[i + 3]
+            cmin_, k_ = scal[0], scal[1]
+            cids_ = scal[2:]
+            labs, valids = [], []
+            cols_cat = {n: [] for n in names}
+            for ci, (cc, v) in enumerate(chunk_data):
+                b = cc[key_col]
+                p = jnp.clip(b - cmin_, 0, span_bucket - 1)
+                labs.append(jnp.minimum(rank_t[p], k_ - 1))
+                valids.append(v & (b >= cmin_) & (ok_t[p] <= cids_[ci])
+                              & (cids_[ci] < end_t[p]))
+                for n in names:
+                    cols_cat[n].append(cc[n])
+            cols = {n: jnp.concatenate(cols_cat[n]) for n in names}
+            cols["__session"] = jnp.concatenate(labs).astype(jnp.int32)
+            valid = jnp.concatenate(valids)
+            out_cols, out_valid, ovf = lower_dist(
+                spec_plan, {rel: (cols, valid)}, ctx)
+            out_names = tuple(sorted(out_cols))
+            names_box["names"] = out_names
+            return (tuple(out_cols[n][None] for n in out_names)
+                    + (out_valid[None], ovf.reshape(1, 1)))
+
+        n_in = n_chunks * per
+        fm = jax.jit(jax.shard_map(
+            local_fn, mesh=executor.mesh,
+            in_specs=tuple([P(AXIS, None)] * n_in + [P(None)] * 4),
+            out_specs=P(AXIS, None),
+        ))
+        _DIST_SESS_COMPILED[ck] = (fm, names_box)
+    fm, names_box = _DIST_SESS_COMPILED[ck]
+
+    flat = []
+    for ch in staged_chunks:
+        flat.extend(ch[n] for n in names)
+        flat.append(ch["__valid"])
+    scal = np.concatenate([[cmin, k], np.asarray(cids, np.int64)]).astype(
+        np.int64)
+    outs = fm(*flat, np.asarray(rank_tab), np.asarray(ok_tab),
+              np.asarray(end_tab), scal)
+    out_names = names_box["names"]
+    *col_arrays, valid, ovf = outs
+    if bool(np.asarray(ovf).any()):
+        raise OverflowError(f"q{spec.number} distributed session overflow")
+    valid = np.asarray(valid).reshape(-1)
+    return {n: np.asarray(a).reshape(valid.shape[0])[valid]
+            for n, a in zip(out_names, col_arrays)}
+
+
 @dataclass
 class DistStreamDriver:
     spec: QuerySpec
@@ -144,26 +237,106 @@ class DistStreamDriver:
     def _exec_session_batch(self, bid: dict, tag: tuple) -> WindowResult:
         return self._exec_row_sharded("bid", bid, tag)
 
+    def _stage_session_chunk(self, cols: dict):
+        """Row-shard one epoch's merged rows and stage them as mesh-sharded
+        device arrays [n_shards, cap] (each shard's rows live in ITS HBM —
+        staged exactly once; emissions later ship only O(key-span) label
+        tables, mirroring runtime/stream.py's local label-table path)."""
+        import jax
+        import numpy as np_
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from flock_tpu.batch import Batch
+        from flock_tpu.parallel.mesh import AXIS
+        from flock_tpu.runtime.stream import _bucket_cap
+
+        n = len(next(iter(cols.values())))
+        per = -(-n // self.n_shards)
+        cap = _bucket_cap(max(per, 1))
+        stacked = {}
+        valids = []
+        for i in range(self.n_shards):
+            sel = np_.arange(n) % self.n_shards == i
+            b = Batch.from_numpy({k: v[sel] for k, v in cols.items()}, cap)
+            for k in cols:
+                stacked.setdefault(k, []).append(np_.asarray(b.columns[k]))
+            valids.append(np_.asarray(b.valid))
+        sh = NamedSharding(self.executor.mesh, P(AXIS, None))
+        dev = {k: jax.device_put(np_.stack(v), sh)
+               for k, v in stacked.items()}
+        dev["__valid"] = jax.device_put(np_.stack(valids), sh)
+        return dev
+
+    def _exec_session_tables(self, em, tag: tuple) -> WindowResult:
+        """Distributed label-table emission: every shard labels/filters its
+        RESIDENT chunk rows from the broadcast dense tables, then the plan
+        runs SPMD (partial agg → all_to_all by session → final agg)."""
+        import numpy as np_
+
+        from flock_tpu.runtime.stream import _SPAN_LIMIT, _bucket_cap
+
+        dt = None
+        if em.merged is not None and em.chunks and \
+                all(ch.staged is not None for ch in em.chunks):
+            closed = em.merged[0]
+            span = int(closed.max()) - int(closed.min()) + 1
+            bucket = max(_bucket_cap(span + 1), 128)
+            if bucket <= _SPAN_LIMIT:
+                dt = em.dense_tables(bucket)
+        if dt is None:
+            return None
+        from flock_tpu.runtime.executor import OverflowError
+
+        rank_tab, ok_tab, end_tab, cmin, k = dt
+        agg_cap = max(_bucket_cap(em.n_sessions), 128)
+        for attempt in range(6):
+            try:
+                host = _dist_session_exec(
+                    self.executor, self.spec,
+                    [ch.staged for ch in em.chunks],
+                    np_.asarray([ch.cid for ch in em.chunks], np_.int32),
+                    rank_tab, ok_tab, end_tab, cmin, k, agg_cap)
+                break
+            except OverflowError:
+                if attempt == 5:
+                    raise
+                agg_cap *= 4
+        return WindowResult(tag, materialize_columns(self.spec, host))
+
     def _run_session(self, epoch_parts) -> list[WindowResult]:
         """STREAMING session windows (see StreamDriver._run_session): closed
         sessions execute per epoch; host state is bounded by open sessions.
-        Emissions materialize on host and row-shard across the mesh (the
-        per-window compute is the distributed part, as in the reference's
-        source-function session driver)."""
+
+        Emissions ship O(key-span) label tables to the mesh and each shard
+        labels its HBM-resident rows itself (the local driver's
+        execute_session_tables path, distributed); the host-materializing
+        row-shard path remains only as the sparse-key/degenerate fallback."""
         state = SessionState(gap=self.spec.window[1])
         out: list[WindowResult] = []
         sid = 0
         t = -1
         for t, parts in enumerate(epoch_parts):
-            em = state.advance(self._merged_bids(parts), t)
+            bid = self._merged_bids(parts)
+            staged = self._stage_session_chunk(bid) \
+                if len(bid[SessionState.key]) else None
+            em = state.advance(bid, t, staged=staged)
             if em is not None:
-                bid = em.to_batch(sid)
-                sid += em.n_sessions
-                out.append(self._exec_session_batch(bid, ("sessions", t)))
+                r = self._exec_session_tables(em, ("sessions", t))
+                if r is None:     # host fallback (sparse/degenerate)
+                    b = em.to_batch(sid)
+                    sid += em.n_sessions
+                    r = self._exec_session_batch(b, ("sessions", t))
+                out.append(r)
+            state.compact(StreamDriver.MAX_CHUNKS,
+                          restage=self._stage_session_chunk)
         em = state.flush(t + 1)
         if em is not None:
-            out.append(self._exec_session_batch(em.to_batch(sid),
-                                                ("sessions", t + 1)))
+            r = self._exec_session_tables(em, ("sessions", t + 1))
+            if r is None:
+                r = self._exec_session_batch(em.to_batch(sid),
+                                             ("sessions", t + 1))
+            out.append(r)
         return out
 
     def _run_global(self, epoch_parts) -> list[WindowResult]:

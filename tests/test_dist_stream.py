@@ -40,3 +40,36 @@ def test_dist_windowed_matches_local(qnum, data):
     lrows = sorted(r for res in local for r in rows(res.columns, names))
     drows = sorted(r for res in dist for r in rows(res.columns, names))
     assert lrows == drows, f"q{qnum}"
+
+
+def test_dist_session_uses_label_tables(data, monkeypatch):
+    """The distributed session driver must ship label tables (SPMD
+    label+filter over mesh-resident chunks), NOT re-materialize emission
+    rows on the host — and stay row-exact vs the local driver."""
+    import flock_tpu.parallel.stream as pstream
+
+    epochs, parts = data
+    spec = get_query(11)
+    calls = {"tables": 0, "fallback": 0}
+    orig_exec = pstream._dist_session_exec
+    orig_fb = pstream.DistStreamDriver._exec_session_batch
+
+    def spy_exec(*a, **kw):
+        calls["tables"] += 1
+        return orig_exec(*a, **kw)
+
+    def spy_fb(self, bid, tag):
+        calls["fallback"] += 1
+        return orig_fb(self, bid, tag)
+
+    monkeypatch.setattr(pstream, "_dist_session_exec", spy_exec)
+    monkeypatch.setattr(pstream.DistStreamDriver, "_exec_session_batch",
+                        spy_fb)
+    local = StreamDriver(spec, SECONDS).run(epochs)
+    dist = DistStreamDriver(spec, SECONDS, 8).run(parts)
+    assert calls["tables"] > 0, "label-table path never executed"
+    assert calls["fallback"] == 0, "host fallback used on dense emissions"
+    names = spec.schema.names
+    lrows = sorted(r for res in local for r in rows(res.columns, names))
+    drows = sorted(r for res in dist for r in rows(res.columns, names))
+    assert lrows == drows
