@@ -289,8 +289,10 @@ def main():
         report("factored_agg_count_max",
                _time(fcm, {"k": key, "v": val}, valid, iters=32),
                n * 9 + span * 12, ops=n * 2048 * 3)
+        # block 4096: the gather's [B, planes·128] f32 matmul output must
+        # fit VMEM (8192 blocks exceed it)
         fg = jax.jit(lambda b, bp, p_, pv: fct.pallas_factored_gather(
-            b, bp, jnp.int32(0), p_["k"], pv, ["v"], block=8192, s_loc=512))
+            b, bp, jnp.int32(0), p_["k"], pv, ["v"], block=4096, s_loc=512))
         report("factored_gather_1col",
                _time(fg, {"v": bval}, jnp.asarray(np.ones(span, bool)),
                      {"k": key}, valid, iters=32),

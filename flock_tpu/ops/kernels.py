@@ -216,7 +216,7 @@ def dense_group_aggregate(
     from flock_tpu.pallas import join_agg as _pj
 
     if factored.enabled() and factored.agg_preferred(list(aggs)) \
-            and factored.agg_eligible(list(aggs), n, s_loc):
+            and factored.agg_eligible(list(aggs), n, s_loc, out_capacity):
         # factored hi⊗lo kernel: count/sum ride ONE MXU matmul of two small
         # one-hots; min/max use a tight-window masked reduce (pallas/factored)
         b_out, b_valid, escape = factored.pallas_factored_agg(
@@ -392,6 +392,7 @@ def lookup_join(
     probe_s_loc: int | None = None,
     build_s_loc: int | None = None,
     build_slotted: bool = False,
+    take_limbs: dict | None = None,
 ):
     """N-to-1 inner join: probe rows keep their slots; matched build columns
     are gathered alongside.  Unmatched probe rows become invalid.
@@ -452,15 +453,21 @@ def lookup_join(
     from flock_tpu.pallas import factored
 
     eff_s_loc = min(probe_s_loc or AGG_S_LOC, span)
+    # limb hints keyed by OUTPUT name on the Join node; the gather works on
+    # build-source names
+    limbs_src = {src: take_limbs[take[src]] for src in take_list
+                 if take_limbs and take[src] in take_limbs} or None
     if factored.enabled() and factored.join_preferred() \
             and eff_s_loc <= 2048 \
+            and factored.gather_planes(take_list, limbs_src) \
+            <= factored.MAX_GATHER_PLANES \
             and all(a.dtype == jnp.int32 for a in slot_arrays.values()):
         # factored matmul gather (pallas/factored): build cols reach probe
         # rows through oh_hi @ window matmuls instead of [B, s_loc] one-hots
         # returns [n] directly (downstream [:n] slices are no-ops)
         gathered, hit, escape = factored.pallas_factored_gather(
             slot_arrays, present, m, pk, probe_valid, take_list,
-            s_loc=eff_s_loc)
+            s_loc=eff_s_loc, limbs=limbs_src)
     else:
         gathered, hit, escape = blocked.blocked_local_join(
             slot_arrays, present, m,

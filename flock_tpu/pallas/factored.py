@@ -63,6 +63,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _cparams():
+    """Raise the Mosaic scoped-VMEM budget: the 16 MB default is a COMPILER
+    limit, not the hardware's (v5e VMEM is far larger).  Round 4's long tail
+    of opaque remote-compile failures all turned out to be scoped-VMEM OOMs
+    (the tunnel usually swallows the diagnostic; one surfaced: 'Scoped
+    allocation ... exceeded scoped vmem limit').  100 MB covers every kernel
+    here with headroom; real over-subscription still fails loudly."""
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def enabled() -> bool:
     import os
 
@@ -94,10 +104,12 @@ def join_preferred() -> bool:
     return os.environ.get("FLOCK_TPU_FACTORED") == "1"
 
 
-def agg_eligible(aggs, n_rows: int, s_loc: int) -> bool:
+def agg_eligible(aggs, n_rows: int, s_loc: int,
+                 out_capacity: int | None = None) -> bool:
     """Static eligibility for ``pallas_factored_agg`` (int32 columns are the
-    caller's precondition).  VMEM budget: nacc+1 span accumulators plus the
-    [_ROWCHUNK, W_t] min/max temporary."""
+    caller's precondition).  VMEM budget: nacc+1 span accumulators (each
+    span_pad·4 bytes, VMEM-resident across the grid) plus ~24 MB of block
+    temporaries must fit the raised 100 MB scoped limit (_cparams)."""
     fns = [fn for _, fn, _ in aggs]
     if not set(fns) <= {"count", "count_sum", "sum", "min", "max"}:
         return False
@@ -105,7 +117,14 @@ def agg_eligible(aggs, n_rows: int, s_loc: int) -> bool:
         return False
     if s_loc > 2048:
         return False
-    return sum(_acc_width(f) for f in fns) <= 10
+    nacc = sum(_acc_width(f) for f in fns)
+    if nacc > 10:
+        return False
+    if out_capacity is not None:
+        span_pad = _round_up(out_capacity, 1024)
+        if (nacc + 1) * span_pad * 4 + 24 * 2**20 > 96 * 2**20:
+            return False
+    return True
 
 
 def _windows(s_loc: int):
@@ -202,8 +221,43 @@ def _load_window(ref, base_a, w_a):
     return jnp.concatenate(chunks)
 
 
+MAX_GATHER_PLANES = 8   # one [nhi, planes·128] dot; a second LIVE dot in a
+                        # gather kernel crashes the backend (probed round 4)
+
+
+def _limb_plan(slot_names, limbs: dict | None):
+    """Per-column limb counts (default 4 = full int32).  Columns hinted with
+    fewer limbs (3 ⇒ values in [0, 2²⁴), 1 ⇒ [0, 2⁸)) keep the total window
+    plane count within MAX_GATHER_PLANES; callers verify the hinted ranges
+    at runtime and escape when violated (slot_range_ok)."""
+    limbs = limbs or {}
+    return {c: int(limbs.get(c, 4)) for c in slot_names}
+
+
+def gather_planes(slot_names, limbs: dict | None) -> int:
+    lp = _limb_plan(slot_names, limbs)
+    return 1 + sum(lp.values())
+
+
+def slot_range_ok(slot_cols, present, limbs: dict | None):
+    """Runtime verification of limb-count hints: every present slot value of
+    a <4-limb column must lie in [0, 2^(8·limbs)).  Returns a bool scalar;
+    callers OR its negation into the escape flag (results are discarded on
+    escape, so in-range arithmetic never depends on the check)."""
+    lp = _limb_plan(slot_cols, limbs)
+    ok = jnp.asarray(True)
+    for c, nl in lp.items():
+        if nl >= 4:
+            continue
+        v = slot_cols[c].astype(jnp.int64)
+        lim = np.int64(1) << (8 * nl)
+        bad = present & ((v < 0) | (v >= lim))
+        ok = ok & ~jnp.any(bad)
+    return ok
+
+
 def _gather_rows(hi, oh_lo, base_a, w_a, packed_ref, span_pad, slot_names,
-                 block):
+                 block, limbs=None):
     """Gather presence + slot columns to rows: ONE [B,nhi] @ [nhi, C·128]
     MXU matmul over 8-bit limb windows, then an oh_lo-weighted row sum.
 
@@ -212,45 +266,49 @@ def _gather_rows(hi, oh_lo, base_a, w_a, packed_ref, span_pad, slot_names,
     refs crashes the backend Mosaic compiler (probed round 4), one packed
     ref with 1024-aligned per-plane offsets lowers fine.
     Returns (g: list of [B] f32, limb_idx)."""
+    lp = _limb_plan(slot_names, limbs)
     nhi = w_a // 128
     wins = [_load_window(packed_ref, base_a, w_a).astype(jnp.bfloat16)]
     limb_idx = []
     for ci, c in enumerate(slot_names):
         v = _load_window(packed_ref, (ci + 1) * span_pad + base_a, w_a)
-        for j in range(4):
-            # top limb stays signed so the shift reconstruction preserves
-            # negative int32 values (bf16-exact: −128..255)
-            limb = ((v >> (8 * j)) & 0xFF) if j < 3 else (v >> 24)
+        nl = lp[c]
+        for j in range(nl):
+            # the top FULL-WIDTH limb stays signed so the shift
+            # reconstruction preserves negative int32 values (bf16-exact:
+            # −128..255); hinted columns are verified non-negative
+            limb = ((v >> (8 * j)) & 0xFF) if j < nl - 1 or nl < 4 \
+                else (v >> 24)
             wins.append(limb.astype(jnp.bfloat16))
             limb_idx.append((c, j))
-    # matmul in groups of ≤8 window planes: a 2-D minor dim must be a
-    # 128-multiple ≤ 1024 (or a 1024-multiple) to lower in Mosaic (probed
-    # round 4 — 1152/1664 crash the backend, 640/1024/2048 are fine)
+    assert len(wins) <= MAX_GATHER_PLANES, (slot_names, lp)
+    # ONE dot: minor dim = planes·128 ≤ 1024 (Mosaic constraint set, round 4)
     oh_hi = _oh_hi(hi, nhi, block)
+    rhs = jnp.concatenate([w.reshape(nhi, 128) for w in wins], axis=1)
+    m2 = jnp.dot(oh_hi, rhs, preferred_element_type=jnp.float32)
+    # limbs combine in the f32 LANE domain first (exact: ≤3 8-bit limbs stay
+    # < 2²⁴), so at most TWO lane reductions run per gathered column (+1 for
+    # presence) — kernels with more than ~5 consumed lane reductions crash
+    # the backend compiler (probed round 4); only the multiply+reduce forms
+    # proven there are used (bool wheres / int shifts on [B,128] also crash)
     oh_lo_f = oh_lo.astype(jnp.float32)
-    g = []
-    for g0 in range(0, len(wins), 8):
-        grp = wins[g0:g0 + 8]
-        rhs = jnp.concatenate([w.reshape(nhi, 128) for w in grp], axis=1)
-        m2 = jnp.dot(oh_hi, rhs, preferred_element_type=jnp.float32)
-        # per-window-column 2-D lane reductions (a 3-D [B, C', 128]
-        # temporary does not lower in Mosaic)
-        g.extend(jnp.sum(m2[:, c * 128:(c + 1) * 128] * oh_lo_f, axis=1)
-                 for c in range(len(grp)))
-    return g, limb_idx
-
-
-def _combine_gathered(g, limb_idx, slot_names, block):
-    """Reassemble int32 columns from gathered limb vectors (g[0] is the
-    presence row)."""
-    out = {}
+    hit = jnp.sum(m2[:, 0:128] * oh_lo_f, axis=1)
+    gathered = {}
+    plane = 1
     for c in slot_names:
-        acc = jnp.zeros((block,), jnp.int32)
-        for r, (cc, j) in enumerate(limb_idx):
-            if cc == c:
-                acc = acc + (g[1 + r].astype(jnp.int32) << (8 * j))
-        out[c] = acc
-    return out
+        nl = lp[c]
+        low = m2[:, plane * 128:(plane + 1) * 128]
+        for j in range(1, min(nl, 3)):
+            low = low + m2[:, (plane + j) * 128:(plane + j + 1) * 128] \
+                * jnp.float32(1 << (8 * j))
+        acc = jnp.sum(low * oh_lo_f, axis=1).astype(jnp.int32)
+        if nl == 4:
+            top = jnp.sum(m2[:, (plane + 3) * 128:(plane + 4) * 128]
+                          * oh_lo_f, axis=1)
+            acc = acc + (top.astype(jnp.int32) << 24)
+        gathered[c] = acc
+        plane += nl
+    return hit, gathered
 
 
 def _stacked_agg_matmul(oh_hi_t, oh_lo, cols, aggs, widths, weight_bf):
@@ -429,6 +487,7 @@ def pallas_factored_agg(keys, valid, agg_cols, aggs, out_capacity: int,
                        * (nacc + 1)
                        + [jax.ShapeDtypeStruct((1,), jnp.int32)]),
             interpret=interpret,
+            compiler_params=_cparams(),
         )(jnp.stack([m.astype(jnp.int32),
                      jnp.asarray(out_capacity, jnp.int32) + m * 0]),
           kp, vp, *cols)
@@ -440,12 +499,14 @@ def pallas_factored_agg(keys, valid, agg_cols, aggs, out_capacity: int,
 
 
 def _gather_kernel(m_ref, keys_ref, valid_ref, *refs, slot_names,
-                   s_loc, span_pad, block):
+                   s_loc, span_pad, block, limbs):
     ns = len(slot_names)
     packed_ref = refs[0]
-    out_refs = refs[1:ns + 1]
-    hit_out, esc_out = refs[ns + 1:ns + 3]
-    esc_acc = refs[ns + 3]
+    # gathered cols + hit PACK into one moving output ref: more than two
+    # block-indexed (moving) output refs crash the backend compiler
+    # (probed round 4; span-shaped constant-index outputs are unaffected)
+    out_ref, esc_out = refs[1:3]
+    esc_acc = refs[3]
 
     i = pl.program_id(0)
 
@@ -467,12 +528,11 @@ def _gather_kernel(m_ref, keys_ref, valid_ref, *refs, slot_names,
         esc_acc[0] = jnp.int32(1)
 
     oh_lo = _oh_lo(lo, block)
-    g, limb_idx = _gather_rows(hi, oh_lo, base_a, w_a, packed_ref,
-                               span_pad, slot_names, block)
-    hit_out[:] = ((g[0] > 0.5) & ok).astype(jnp.int32)
-    gathered = _combine_gathered(g, limb_idx, slot_names, block)
+    hit_f, gathered = _gather_rows(hi, oh_lo, base_a, w_a, packed_ref,
+                                   span_pad, slot_names, block, limbs)
     for ci, c in enumerate(slot_names):
-        out_refs[ci][:] = gathered[c]
+        out_ref[pl.ds(ci * block, block)] = gathered[c]
+    out_ref[pl.ds(ns * block, block)] = ((hit_f > 0.5) & ok).astype(jnp.int32)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -481,9 +541,12 @@ def _gather_kernel(m_ref, keys_ref, valid_ref, *refs, slot_names,
 
 def pallas_factored_gather(slot_cols, present, m, probe_keys, probe_valid,
                            take: list[str], block: int = 4096,
-                           s_loc: int = 512, interpret: bool = False):
+                           s_loc: int = 512, interpret: bool = False,
+                           limbs: dict | None = None):
     """Drop-in for ops/blocked.blocked_local_join: gathers build slot columns
-    to probe rows.  Returns (gathered dict, hit, escape)."""
+    to probe rows.  ``limbs`` hints per-column limb counts (see _limb_plan);
+    hinted ranges are verified at runtime into the escape flag.
+    Returns (gathered dict, hit, escape)."""
     span = present.shape[0]
     n = probe_keys.shape[0]
     _, w_a = _windows(s_loc)
@@ -493,6 +556,7 @@ def pallas_factored_gather(slot_cols, present, m, probe_keys, probe_valid,
     kp = jnp.pad(probe_keys, (0, pad))
     vp = jnp.pad(probe_valid, (0, pad)).astype(jnp.int32)
     slot_names = tuple(take)
+    range_ok = slot_range_ok(slot_cols, present, limbs)
     # present + slot columns flattened into ONE span input (≥2 span-shaped
     # input refs crash the backend compiler — see _gather_rows)
     packed = jnp.concatenate(
@@ -500,10 +564,11 @@ def pallas_factored_gather(slot_cols, present, m, probe_keys, probe_valid,
         + [jnp.pad(slot_cols[c].astype(jnp.int32), (0, spad))
            for c in slot_names])
     grid = ((n + pad) // block,)
+    npk = len(slot_names) + 1   # gathered planes + hit in one moving output
 
     kernel = functools.partial(
         _gather_kernel, slot_names=slot_names, s_loc=s_loc,
-        span_pad=span_pad, block=block)
+        span_pad=span_pad, block=block, limbs=limbs)
     blockspec = pl.BlockSpec((block,), lambda i, *_: (i,))
     packspec = pl.BlockSpec(((len(slot_names) + 1) * span_pad,),
                             lambda i, *_: (0,))
@@ -514,29 +579,31 @@ def pallas_factored_gather(slot_cols, present, m, probe_keys, probe_valid,
                 num_scalar_prefetch=1,
                 grid=grid,
                 in_specs=[blockspec] * 2 + [packspec],
-                out_specs=([blockspec] * (len(slot_names) + 1)
+                out_specs=([pl.BlockSpec((npk * block,), lambda i, *_: (i,))]
                            + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
                 scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
             ),
-            out_shape=([jax.ShapeDtypeStruct((n + pad,), jnp.int32)]
-                       * (len(slot_names) + 1)
+            out_shape=([jax.ShapeDtypeStruct((npk * (n + pad),), jnp.int32)]
                        + [jax.ShapeDtypeStruct((1,), jnp.int32)]),
             interpret=interpret,
+            compiler_params=_cparams(),
         )(jnp.stack([m.astype(jnp.int32),
                      jnp.asarray(span, jnp.int32) + m * 0]),
           kp, vp, packed)
 
-    out = {c: outs[i][:n] for i, c in enumerate(slot_names)}
-    hit = outs[len(slot_names)][:n] > 0
-    esc = outs[len(slot_names) + 1]
-    return out, hit, esc[0] > 0
+    packed_out = outs[0].reshape((n + pad) // block, npk, block)
+    out = {c: packed_out[:, i, :].reshape(-1)[:n]
+           for i, c in enumerate(slot_names)}
+    hit = packed_out[:, len(slot_names), :].reshape(-1)[:n] > 0
+    esc = outs[1]
+    return out, hit, (esc[0] > 0) | ~range_ok
 
 
 # -- fused join + filter + aggregate ------------------------------------------
 
 
 def _join_agg_kernel(m_ref, *refs, probe_names, slot_names, replay, aggs,
-                     s_loc, span_pad, block, interpret):
+                     s_loc, span_pad, block, interpret, limbs):
     np_, ns = len(probe_names), len(slot_names)
     widths = [_acc_width(fn) for _, fn, _ in aggs]
     nacc = sum(widths)
@@ -578,11 +645,11 @@ def _join_agg_kernel(m_ref, *refs, probe_names, slot_names, replay, aggs,
 
     # 1) gather presence + every taken build column to the probe rows
     oh_lo = _oh_lo(lo, block)
-    g, limb_idx = _gather_rows(hi, oh_lo, base_a, w_a, packed_ref,
-                               span_pad, slot_names, block)
-    hit = (g[0] > 0.5) & ok
+    hit_f, gathered = _gather_rows(hi, oh_lo, base_a, w_a, packed_ref,
+                                   span_pad, slot_names, block, limbs)
+    hit = (hit_f > 0.5) & ok
     cols = {k: r[:] for k, r in probe_refs.items()}
-    cols.update(_combine_gathered(g, limb_idx, slot_names, block))
+    cols.update(gathered)
 
     # 2) replay the Filter/Project chain per-row (flat [block] arrays; the
     #    same closures the broadcast formulation uses — elementwise ops on
@@ -608,7 +675,8 @@ def _join_agg_kernel(m_ref, *refs, probe_names, slot_names, replay, aggs,
 
 def pallas_factored_join_agg(slot_cols, present, m, probe_cols, probe_valid,
                              probe_key, replay, aggs, block: int = 4096,
-                             s_loc: int = 512, interpret: bool = False):
+                             s_loc: int = 512, interpret: bool = False,
+                             limbs: dict | None = None):
     """Drop-in for ops/blocked.blocked_join_aggregate with ROW-WISE replay:
     build columns are gathered to probe rows first (factored matmul gather),
     then the Filter/Project chain replays on flat [block] arrays, then the
@@ -634,10 +702,12 @@ def pallas_factored_join_agg(slot_cols, present, m, probe_cols, probe_valid,
     nacc = sum(widths)
     grid = ((n + pad) // block,)
 
+    range_ok = slot_range_ok(slot_cols, present, limbs)
     kernel = functools.partial(
         _join_agg_kernel, probe_names=tuple(probe_names),
         slot_names=slot_names, replay=replay, aggs=tuple(aggs),
-        s_loc=s_loc, span_pad=span_pad, block=block, interpret=interpret)
+        s_loc=s_loc, span_pad=span_pad, block=block, interpret=interpret,
+        limbs=limbs)
     blockspec = pl.BlockSpec((block,), lambda i, *_: (i,))
     spanspec = pl.BlockSpec((span_pad,), lambda i, *_: (0,))
     with jax.enable_x64(False):
@@ -660,17 +730,25 @@ def pallas_factored_join_agg(slot_cols, present, m, probe_cols, probe_valid,
                        * (nacc + 1)
                        + [jax.ShapeDtypeStruct((1,), jnp.int32)]),
             interpret=interpret,
+            compiler_params=_cparams(),
         )(jnp.stack([m.astype(jnp.int32),
                      jnp.asarray(span0, jnp.int32) + m * 0]),
           *[pcols[k] for k in probe_names], pvalid, packed)
 
-    return _combine_outputs(outs, aggs, widths, span0, m, jnp.int32)
+    out_cols, ovalid, esc = _combine_outputs(outs, aggs, widths, span0, m,
+                                             jnp.int32)
+    return out_cols, ovalid, esc | ~range_ok
 
 
-def join_agg_eligible(slot_cols, probe_cols, replay, aggs) -> bool:
+def join_agg_eligible(slot_cols, probe_cols, replay, aggs,
+                      limbs: dict | None = None) -> bool:
     """Static eligibility for ``factored_join_agg_rebased``: same contract as
     pallas/join_agg.eligible — int32/int64 columns (int64 rebased), int32
-    accumulated values, limb-safe row counts."""
+    accumulated values, limb-safe row counts — plus the single-dot window
+    plane budget (gather_planes ≤ MAX_GATHER_PLANES; limb hints shrink
+    wide column sets under it, verified at runtime)."""
+    if gather_planes(tuple(slot_cols), limbs) > MAX_GATHER_PLANES:
+        return False
     fns = [fn for _, fn, _ in aggs]
     if not set(fns) <= {"count", "count_sum", "sum", "min", "max"}:
         return False
@@ -694,7 +772,8 @@ def join_agg_eligible(slot_cols, probe_cols, replay, aggs) -> bool:
 
 def factored_join_agg_rebased(slot_cols, present, m, probe_cols, probe_valid,
                               probe_key, replay, aggs, block: int = 4096,
-                              s_loc: int = 512, interpret: bool = False):
+                              s_loc: int = 512, interpret: bool = False,
+                              limbs: dict | None = None):
     """``pallas_factored_join_agg`` with automatic int64→int32 rebasing (the
     same scheme as pallas/join_agg.fused_join_aggregate_rebased: all int64
     columns shift by one shared window minimum, preserving comparisons and
@@ -708,7 +787,8 @@ def factored_join_agg_rebased(slot_cols, present, m, probe_cols, probe_valid,
     if not i64_probe and not i64_slot:
         return pallas_factored_join_agg(
             slot_cols, present, m, probe_cols, probe_valid, probe_key,
-            replay, aggs, block=block, s_loc=s_loc, interpret=interpret)
+            replay, aggs, block=block, s_loc=s_loc, interpret=interpret,
+            limbs=limbs)
 
     I64_MAX = np.int64(2**63 - 1)
     I64_MIN = np.int64(-(2**63))
@@ -731,5 +811,5 @@ def factored_join_agg_rebased(slot_cols, present, m, probe_cols, probe_valid,
     sc = {k: (rb(v) if k in i64_slot else v) for k, v in slot_cols.items()}
     out, valid, esc = pallas_factored_join_agg(
         sc, present, m, pc, probe_valid, probe_key, replay, aggs,
-        block=block, s_loc=s_loc, interpret=interpret)
+        block=block, s_loc=s_loc, interpret=interpret, limbs=limbs)
     return out, valid, esc | ~ok64

@@ -95,6 +95,10 @@ class Join(Node):
     # pass and (optionally) blocked build-side slotting
     probe_s_loc: int | None = None
     build_s_loc: int | None = None
+    # per-taken-column 8-bit-limb hints for the factored pallas gather
+    # (pallas/factored._limb_plan): tuple[(out_name, limbs)] — 3 ⇒ values
+    # verified at runtime in [0, 2²⁴), 1 ⇒ [0, 2⁸); violations escape
+    take_limbs: tuple = ()
 
     def inputs(self):
         return (self.build, self.probe)
@@ -258,7 +262,9 @@ def lower(node: Node, tables: dict[str, Batch], agg_capacity: int | None = None)
                 b.cols, b.valid, node.build_key,
                 p.cols, p.valid, node.probe_key, dict(node.take),
                 probe_s_loc=node.probe_s_loc, build_s_loc=node.build_s_loc,
-                build_slotted=b_slotted)
+                build_slotted=b_slotted,
+                take_limbs=dict(node.take_limbs) if node.take_limbs
+                else None)
         if node.post_filter is not None:
             valid = valid & node.post_filter(cols)
         return Lowered(cols, valid, b.overflow | p.overflow | ovf)
@@ -375,14 +381,15 @@ def fused_local_pass(node: "FusedJoinAggregate",
     from flock_tpu.pallas import factored
 
     s_loc = jn.probe_s_loc or AGG_S_LOC
+    limbs = dict(jn.take_limbs) if jn.take_limbs else None
     if factored.enabled() and factored.join_preferred() \
             and s_loc <= 2048 and factored.join_agg_eligible(
-                slot_cols, pcols, replay, list(node.aggs)):
+                slot_cols, pcols, replay, list(node.aggs), limbs):
         # factored gather→row-filter→aggregate (pallas/factored): the join
         # never materializes and no [B, s_loc] one-hot is ever built
         out, ovalid, esc = factored.factored_join_agg_rebased(
             slot_cols, present, m, pcols, pvalid, jn.probe_key, replay,
-            list(node.aggs), s_loc=s_loc)
+            list(node.aggs), s_loc=s_loc, limbs=limbs)
     elif join_agg.fused_preferred() and join_agg.eligible(
             slot_cols, pcols, replay, list(node.aggs)):
         # Pallas path (opt-in, FLOCK_TPU_PALLAS=2): span accumulators live in
@@ -569,7 +576,8 @@ def fuse_join_aggregates(node: Node) -> Node:
                                 probe_key=cur.probe_key,
                                 take=cur.take, post_filter=cur.post_filter,
                                 probe_s_loc=cur.probe_s_loc,
-                                build_s_loc=cur.build_s_loc)
+                                build_s_loc=cur.build_s_loc,
+                                take_limbs=cur.take_limbs)
                     return FusedJoinAggregate(
                         join=join, middle=tuple(reversed(chain)),
                         group_key=key, aggs=n.aggs, fallback=n,

@@ -97,7 +97,9 @@ def q3() -> QuerySpec:
         Join(build=person, probe=auction, build_key="p_id", probe_key="seller",
              take=(("name", "name"), ("city", "city"), ("state", "state")),
              probe_s_loc=S_LOC_PERSON_OVER_AUCTION,
-             build_s_loc=S_LOC_DENSE_IDS),
+             build_s_loc=S_LOC_DENSE_IDS,
+             # dictionary codes: name < 99, city < 10, state < 6 → 1 limb
+             take_limbs=(("name", 1), ("city", 1), ("state", 1))),
         (("name", "name"), ("city", "city"), ("state", "state"), ("a_id", "a_id")),
     )
     return QuerySpec(

@@ -398,9 +398,12 @@ def test_factored_gather_matches_blocked():
     g1, h1, e1 = blocked.blocked_local_join(
         slots, jnp.asarray(pres), jnp.int32(0), jnp.asarray(key),
         jnp.asarray(pv), ["a", "b"], block=4096, s_loc=512)
+    # plane budget: one dot per kernel (MAX_GATHER_PLANES) — col b's small
+    # range rides a 1-limb hint, runtime-verified
     g2, h2, e2 = factored.pallas_factored_gather(
         slots, jnp.asarray(pres), jnp.int32(0), jnp.asarray(key),
-        jnp.asarray(pv), ["a", "b"], s_loc=512, interpret=True)
+        jnp.asarray(pv), ["a", "b"], s_loc=512, interpret=True,
+        limbs={"b": 1})
     assert not bool(e1) and not bool(e2)
     h1, h2 = np.asarray(h1), np.asarray(h2)
     np.testing.assert_array_equal(h1, h2)
@@ -436,14 +439,15 @@ def test_factored_join_agg_matches_blocked_rebased():
     slots = {"ats": jnp.asarray(ats), "exp": jnp.asarray(exp)}
     pcols = {"k": jnp.asarray(key), "price": jnp.asarray(price),
              "b_ts": jnp.asarray(bts)}
-    assert factored.join_agg_eligible(slots, pcols, replay, aggs)
+    limbs = {"ats": 3, "exp": 3}   # rebased ms offsets < 2^24
+    assert factored.join_agg_eligible(slots, pcols, replay, aggs, limbs)
 
     o1, v1, e1 = blocked.blocked_join_aggregate(
         slots, jnp.asarray(present), jnp.asarray(m), pcols, jnp.asarray(pv),
         "k", replay, aggs, span, block=4096, s_loc=1024)
     o2, v2, e2 = factored.factored_join_agg_rebased(
         slots, jnp.asarray(present), jnp.asarray(m), pcols, jnp.asarray(pv),
-        "k", replay, aggs, s_loc=1024, interpret=True)
+        "k", replay, aggs, s_loc=1024, interpret=True, limbs=limbs)
     assert not bool(e1) and not bool(e2)
     v1, v2 = np.asarray(v1), np.asarray(v2)
     np.testing.assert_array_equal(v1, v2)
