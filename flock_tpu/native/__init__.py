@@ -162,3 +162,42 @@ def lz4_decompress(data: bytes, out_size: int) -> bytes:
     if n != out_size:
         raise ValueError(f"lz4 decompression failed ({n} != {out_size})")
     return dst.raw[:n]
+
+
+def get_session_lib() -> ctypes.CDLL:
+    """Compile (if stale/missing) and load libflocksession.so (per-epoch
+    session key statistics, session.cpp)."""
+    lib = _load("session.cpp", "libflocksession.so")
+    if not getattr(lib, "_flock_argtypes", False):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.flock_session_stats.argtypes = [
+            i64p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p,
+        ]
+        lib.flock_session_stats.restype = ctypes.c_int64
+        lib._flock_argtypes = True
+    return lib
+
+
+def session_stats(keys, times, kmin: int, span: int):
+    """(first_sec, last_sec) dense int64[span] tables for one epoch's rows
+    (-1 where the key is absent).  Returns None when the native toolchain is
+    unavailable (callers fall back to the numpy path)."""
+    import numpy as np
+
+    try:
+        lib = get_session_lib()
+    except RuntimeError:
+        return None
+    keys = np.ascontiguousarray(keys, np.int64)
+    times = np.ascontiguousarray(times, np.int64)
+    first = np.full(span, -1, np.int64)
+    last = np.full(span, -1, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.flock_session_stats(
+        keys.ctypes.data_as(i64p), times.ctypes.data_as(i64p),
+        len(keys), kmin, span,
+        first.ctypes.data_as(i64p), last.ctypes.data_as(i64p))
+    if rc != 0:
+        return None
+    return first, last

@@ -71,18 +71,29 @@ def _run_plan_session_tables(plan, agg_capacity: int, rel: str, key: str,
     replacement for re-shipping session windows to an aggregator (the
     reference re-invokes with whole windows in the payload,
     window/session.rs:245-263)."""
+    from flock_tpu.ops import kernels as _k
+
     cols = {}
     for c in chunks[0].columns:
         cols[c] = jnp.concatenate([ch.columns[c] for ch in chunks])
-    labs, valids = [], []
-    for i, ch in enumerate(chunks):
-        b = ch.columns[key]
-        p = jnp.clip(b - cmin, 0, span_bucket - 1)
-        labs.append(jnp.minimum(rank_tab[p], k - 1))
-        valids.append(ch.valid & (b >= cmin)
-                      & (ok_tab[p] <= cids[i]) & (cids[i] < end_tab[p]))
-    cols["__session"] = jnp.concatenate(labs)
-    valid = jnp.concatenate(valids)
+    valid_in = jnp.concatenate([ch.valid for ch in chunks])
+    cidvec = jnp.concatenate([
+        jnp.full((ch.valid.shape[0],), 0, jnp.int32) + cids[i]
+        for i, ch in enumerate(chunks)])
+    # label/filter via the blocked slot gather instead of three random
+    # span-table gathers (~25 ns/row each; measured 3×~0.4 s per 15M-row
+    # session flush): bidder keys carry the stream's natural locality, so
+    # the one-hot window gather applies (kernels.lookup_join keeps the
+    # per-row-gather safety net for locality breaks)
+    build = {"__k": cmin + jnp.arange(span_bucket, dtype=jnp.int32),
+             "__rank": rank_tab, "__ok": ok_tab, "__end": end_tab}
+    joined, hit, _ovf = _k.lookup_join(
+        build, jnp.ones((span_bucket,), bool), "__k",
+        {"__k": cols[key].astype(jnp.int32)}, valid_in, "__k",
+        {"__rank": "__rank", "__ok": "__ok", "__end": "__end"},
+        build_slotted=True, probe_s_loc=_k.S_LOC_PERSON_OVER_BID)
+    cols["__session"] = jnp.minimum(joined["__rank"], k - 1)
+    valid = hit & (joined["__ok"] <= cidvec) & (cidvec < joined["__end"])
     return compile_plan(plan, agg_capacity)(
         {rel: Batch(columns=cols, valid=valid)})
 

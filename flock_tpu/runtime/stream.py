@@ -299,6 +299,13 @@ class SessionState:
         const_sec = tmin // 1000 if int(times.max()) // 1000 == tmin // 1000 \
             else None
         if span <= max(64 * n, _SPAN_LIMIT):
+            from flock_tpu import native
+
+            st = native.session_stats(keys, times, kmin, span)
+            if st is not None:     # one C pass (~1-2 ns/row) instead of
+                first_t, last_t = st  # several vectorized numpy passes
+                off = np.flatnonzero(last_t >= 0)
+                return off + kmin, first_t[off], last_t[off]
             pos = keys - kmin
             if const_sec is not None:
                 flag = np.zeros(span, bool)

@@ -120,3 +120,42 @@ def test_float_key_join_uses_sorted_fallback():
             assert int(got["payload"][i]) == lut[pk]
         else:
             assert not got_valid[i]
+
+
+def test_dense_agg_int64_rebase():
+    """int64 aggregation columns (timestamps) rebase to window-relative int32
+    internally (min/max/sum shift back exactly); a window whose int64 range
+    exceeds int32 falls back to the scatter path, never wrong."""
+    rng = np.random.default_rng(11)
+    n, span = 16384, 8192
+    keys = np.clip(np.arange(n) // 4 + rng.integers(-200, 50, n),
+                   0, span - 1).astype(np.int32)
+    base_ms = 1_436_918_400_000
+    ts = (base_ms + rng.integers(0, 10**6, n)).astype(np.int64)
+    valid = rng.random(n) < 0.9
+    aggs = [("t", "min", "lo"), ("t", "max", "hi"), ("t", "sum", "s"),
+            (None, "count", "c")]
+    out, ovalid, ovf = jax.jit(lambda c, v: kernels.dense_group_aggregate(
+        c, v, "k", aggs, span))({"k": jnp.asarray(keys),
+                                 "t": jnp.asarray(ts)}, jnp.asarray(valid))
+    assert not bool(ovf)
+    m = keys[valid].min()
+    for kv in np.unique(keys[valid])[:50]:
+        sel = valid & (keys == kv)
+        i = kv - m
+        assert np.asarray(ovalid)[i]
+        assert int(out["lo"][i]) == int(ts[sel].min())
+        assert int(out["hi"][i]) == int(ts[sel].max())
+        assert int(out["s"][i]) == int(ts[sel].astype(np.int64).sum())
+        assert int(out["c"][i]) == int(sel.sum())
+    # int64 range wider than int32: must still be exact (scatter fallback)
+    ts2 = ts.copy()
+    ts2[7] = base_ms + (1 << 40)
+    valid2 = valid.copy()
+    valid2[7] = True
+    out2, ovalid2, ovf2 = jax.jit(lambda c, v: kernels.dense_group_aggregate(
+        c, v, "k", [("t", "max", "hi")], span))(
+        {"k": jnp.asarray(keys), "t": jnp.asarray(ts2)}, jnp.asarray(valid2))
+    assert not bool(ovf2)
+    i7 = keys[7] - keys[valid2].min()
+    assert int(out2["hi"][i7]) == int(ts2[valid2 & (keys == keys[7])].max())
