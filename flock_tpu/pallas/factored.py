@@ -85,15 +85,22 @@ def enabled() -> bool:
 def agg_preferred(aggs) -> bool:
     """Evidence-based default (measured v5e, round 4, RTT-amortized):
     count/sum aggregations run ~2.6 ms per 4M rows vs 13-22 ms for the XLA
-    blocked scan (5-8×); with min/max present the masked reduce dominates
-    (~10 ms) — parity on count+max, 1.6× ahead on sum+count+max — so the
-    factored kernel is preferred whenever eligible.  FLOCK_TPU_NO_FACTORED=1
-    restores the previous dispatch."""
+    blocked scan (5-8×), and sum+count+max is 1.6× ahead; but each min/max
+    adds a masked VPU reduce over the FULL aligned window, so with ≥2
+    min/max aggs and no sum the factored kernel LOSES to the XLA blocked
+    scan (q12's count+min+max regressed 31→17.5M rows/s in the sweep before
+    this gate).  FLOCK_TPU_FACTORED=1 forces it; FLOCK_TPU_NO_FACTORED=1
+    restores the previous dispatch entirely."""
     import os
 
     if os.environ.get("FLOCK_TPU_FACTORED") == "1":
         return True
-    return not os.environ.get("FLOCK_TPU_NO_FACTORED")
+    if os.environ.get("FLOCK_TPU_NO_FACTORED"):
+        return False
+    fns = [fn for _, fn, _ in aggs]
+    if any(f in ("sum", "count_sum") for f in fns):
+        return True
+    return sum(f in ("min", "max") for f in fns) <= 1
 
 
 def join_preferred() -> bool:
