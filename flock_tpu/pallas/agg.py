@@ -140,6 +140,8 @@ def pallas_count_max_agg(keys: jax.Array, valid: jax.Array, vals: jax.Array,
                 jax.ShapeDtypeStruct((1,), jnp.int32),
             ],
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )(m.reshape(1), keys, valid.astype(jnp.int32), vals)
 
 
@@ -316,6 +318,8 @@ def pallas_local_agg(keys, valid, agg_cols, aggs, out_capacity: int,
             out_shape=([jax.ShapeDtypeStruct((span,), jnp.int32)] * (nacc + 1)
                        + [jax.ShapeDtypeStruct((1,), jnp.int32)]),
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )(m.reshape(1).astype(jnp.int32), kp, vp, *cols)
 
     out_cols = {}

@@ -820,3 +820,228 @@ def factored_join_agg_rebased(slot_cols, present, m, probe_cols, probe_valid,
         sc, present, m, pc, probe_valid, probe_key, replay, aggs,
         block=block, s_loc=s_loc, interpret=interpret, limbs=limbs)
     return out, valid, esc | ~ok64
+
+
+# -- broadcast fused join + filter + aggregate (tight window) -----------------
+
+
+def _bcast_windows(s_loc: int):
+    """(effective window, frame, aligned frame) for the broadcast kernel.
+    The effective window equals the 1024-granular frame: every 1-D window
+    value must stay 1024-granular (a 640-wide variant would need sub-frame
+    slices that do not lower), so the win over the old double-window kernel
+    is the HALVED width (1024 vs 2048 for q4's s_loc=512) plus zero HBM
+    accumulator traffic."""
+    w_t = _round_up(s_loc + 128, 1024)
+    return w_t, w_t, w_t + 1024
+
+
+def _bcast_kernel(m_ref, *refs, probe_names, slot_names, replay, aggs,
+                  s_loc, span_pad, block, interpret):
+    np_, ns = len(probe_names), len(slot_names)
+    widths = [_acc_width(fn) for _, fn, _ in aggs]
+    nacc = sum(widths)
+    probe_refs = dict(zip(probe_names, refs[:np_]))
+    valid_ref = refs[np_]
+    packed_ref = refs[np_ + 1]
+    base = np_ + 2
+    out_refs = refs[base:base + nacc]
+    cnt_out, esc_out = refs[base + nacc:base + nacc + 2]
+    accs = refs[base + nacc + 2:base + 2 * nacc + 2]
+    acc_cnt, esc_acc = refs[base + 2 * nacc + 2:]
+    keys_ref = probe_refs[probe_names[0]]
+
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        off = 0
+        for (_, fn, _o), w in zip(aggs, widths):
+            for j in range(w):
+                accs[off + j][:] = jnp.full(
+                    (span_pad,), _SENTINEL.get(fn, 0), jnp.int32)
+            off += w
+        acc_cnt[:] = jnp.zeros((span_pad,), jnp.int32)
+        esc_acc[0] = jnp.int32(0)
+
+    w_eff, w_t, w_a = _bcast_windows(s_loc)
+    keys = keys_ref[:]
+    valid = valid_ref[:] != 0
+    rel_all = keys - m_ref[0]
+    candidate = valid & (rel_all >= 0) & (rel_all < m_ref[1])
+    base_t = jnp.min(jnp.where(candidate, rel_all, I32_MAX))
+    base_t128 = jnp.clip(base_t & ~jnp.int32(127), 0, span_pad - w_a)
+    base_a = base_t128 & ~jnp.int32(1023)
+    rel_t = rel_all - base_t128
+    ok = candidate & (rel_t >= 0) & (rel_t < w_eff)
+
+    @pl.when(jnp.max(jnp.where(candidate & ~(
+        (rel_t >= 0) & (rel_t < w_eff)), 1, 0)) > 0)
+    def _():
+        esc_acc[0] = jnp.int32(1)
+
+    # one-hot over the TIGHT window (pair mask lives at [B, w_eff])
+    rel_c = jnp.where(ok, rel_t, w_eff)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (block, w_eff), 1)
+    onehot = rel_c[:, None] == iota_w
+
+    # windows load from the 1024-aligned base (legal), then the tight
+    # window view is rows [shift128 : shift128+w_eff) — taken by rolling
+    # the frame so the tight window starts at 0
+    shift = base_t128 - base_a
+
+    def load_tight(plane):
+        fr = _load_window(packed_ref, plane * span_pad + base_a, w_a)
+        f2d = fr.reshape(w_a // 128, 128)
+        # rotate UP by shift rows expressed as a positive rotation (a
+        # negative dynamic shift may not lower)
+        up = (w_a >> 7) - (shift >> 7)
+        rolled = (jnp.roll(f2d, up, axis=0) if interpret
+                  else pltpu.roll(f2d, up, 0))
+        return rolled.reshape(w_a)[:w_t]
+
+    pres_w = load_tight(0)
+    pair = onehot & (pres_w > 0)[None, :]
+
+    bcast = {k: r[:][:, None] for k, r in probe_refs.items()}
+    win_cols = {}
+    for ci, c in enumerate(slot_names):
+        win_cols[c] = load_tight(ci + 1)
+        bcast[c] = win_cols[c][None, :]
+    bcast, pair = replay(bcast, pair)
+
+    pair_bf = pair.astype(jnp.bfloat16)
+    # stacked MXU matmul: count row + probe-side integer-sum limbs
+    sum_rows = [jnp.ones((block,), jnp.bfloat16)]
+    row_of = {}
+    for in_col, fn, _out in aggs:
+        if fn in ("sum", "count_sum") and in_col in probe_refs \
+                and in_col not in row_of:
+            v = probe_refs[in_col][:]
+            row_of[in_col] = len(sum_rows)
+            for j in range(4):
+                sum_rows.append(((v >> (8 * j)) & 0xFF).astype(jnp.bfloat16))
+    stacked = jnp.dot(jnp.stack(sum_rows), pair_bf,
+                      preferred_element_type=jnp.float32)   # [R, w_eff]
+    cnt_w = stacked[0].astype(jnp.int32)
+
+    def place(vec_eff, fill):
+        # [w_eff] → [w_a] frame at the window's aligned offset (1-D concat
+        # at 1024 granularity + row-granular rotate — the proven forms)
+        padded = jnp.concatenate(
+            [vec_eff, jnp.full((w_a - w_eff,), fill, vec_eff.dtype)])
+        p2 = padded.reshape(w_a // 128, 128)
+        rolled = (jnp.roll(p2, shift >> 7, axis=0) if interpret
+                  else pltpu.roll(p2, shift >> 7, 0))
+        return rolled.reshape(w_a)
+
+    def upd(acc, win, merge):
+        for kk in range(w_a // 1024):
+            b = pl.multiple_of(base_a + kk * 1024, 1024)
+            acc[pl.ds(b, 1024)] = merge(acc[pl.ds(b, 1024)],
+                                        win[kk * 1024:(kk + 1) * 1024])
+
+    upd(acc_cnt, place(cnt_w, 0), jnp.add)
+    off = 0
+    for (in_col, fn, _out), w in zip(aggs, widths):
+        if fn == "count":
+            upd(accs[off], place(cnt_w, 0), jnp.add)
+        elif fn in ("sum", "count_sum"):
+            if in_col in row_of:
+                r0 = row_of[in_col]
+                for j in range(4):
+                    upd(accs[off + j],
+                        place(stacked[r0 + j].astype(jnp.int32), 0), jnp.add)
+            else:   # build-side: constant down rows ⇒ sum = col · count
+                v = bcast[in_col].reshape(w_eff)
+                for j in range(4):
+                    limb = ((v >> (8 * j)) & 0xFF) if j < 3 else (v >> 24)
+                    upd(accs[off + j],
+                        place(limb * cnt_w, 0), jnp.add)
+        elif fn in ("min", "max"):
+            sent = _SENTINEL[fn]
+            mrg = jnp.minimum if fn == "min" else jnp.maximum
+            src = bcast[in_col]
+            if src.shape == (block, 1):       # probe-side masked reduce
+                red = jnp.min if fn == "min" else jnp.max
+                v = jnp.broadcast_to(src, (block, w_eff))
+                masked = jnp.where(pair, v, sent)
+                win_v = red(masked, axis=0)
+            else:                              # build-side: gate on count
+                win_v = jnp.where(cnt_w > 0, src.reshape(w_eff), sent)
+            upd(accs[off], place(win_v, sent), mrg)
+        off += w
+
+    @pl.when(i == n_i - 1)
+    def _():
+        for o, acc in zip(out_refs, accs):
+            o[:] = acc[:]
+        cnt_out[:] = acc_cnt[:]
+        esc_out[0] = esc_acc[0]
+
+
+def pallas_bcast_join_agg(slot_cols, present, m, probe_cols, probe_valid,
+                          probe_key, replay, aggs, block: int = 4096,
+                          s_loc: int = 512, interpret: bool = False):
+    """Broadcast-window fused join+filter+aggregate: the old formulation's
+    [B, window] pair mask at a tight single 1024 window (vs the old 2048
+    double window), VMEM-resident span accumulators, roll-based frame
+    placement.  Same contract and replay convention as
+    blocked_join_aggregate.
+
+    STATUS (round 4): row-exact in interpret mode (test_pallas); the
+    backend compiler SIGABRTs on the compiled form (the roll-based window
+    load is the prime suspect) — NOT dispatched anywhere.  Expected win if
+    fixed is modest (~1.2× over the XLA fused scan: halved window ops plus
+    ~3 ms of accumulator HBM traffic per 4M rows)."""
+    span0 = present.shape[0]
+    n = probe_valid.shape[0]
+    _, _, w_a = _bcast_windows(s_loc)
+    span_pad = max(_round_up(span0, 1024), w_a)
+    spad = span_pad - span0
+    slot_names = tuple(sorted(slot_cols))
+    packed = jnp.concatenate(
+        [jnp.pad(present, (0, spad)).astype(jnp.int32)]
+        + [jnp.pad(slot_cols[c].astype(jnp.int32), (0, spad))
+           for c in slot_names])
+    pad = (-n) % block
+    pcols = {k: jnp.pad(v, (0, pad)) for k, v in probe_cols.items()}
+    pvalid = jnp.pad(probe_valid, (0, pad)).astype(jnp.int32)
+    probe_names = [probe_key] + [k for k in sorted(pcols) if k != probe_key]
+    widths = [_acc_width(fn) for _, fn, _ in aggs]
+    nacc = sum(widths)
+    grid = ((n + pad) // block,)
+
+    kernel = functools.partial(
+        _bcast_kernel, probe_names=tuple(probe_names),
+        slot_names=slot_names, replay=replay, aggs=tuple(aggs),
+        s_loc=s_loc, span_pad=span_pad, block=block, interpret=interpret)
+    blockspec = pl.BlockSpec((block,), lambda i, *_: (i,))
+    spanspec = pl.BlockSpec((span_pad,), lambda i, *_: (0,))
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=([blockspec] * (len(probe_names) + 1)
+                          + [pl.BlockSpec(
+                              ((len(slot_names) + 1) * span_pad,),
+                              lambda i, *_: (0,))]),
+                out_specs=([spanspec] * (nacc + 1)
+                           + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+                scratch_shapes=([pltpu.VMEM((span_pad,), jnp.int32)]
+                                * (nacc + 1)
+                                + [pltpu.SMEM((1,), jnp.int32)]),
+            ),
+            out_shape=([jax.ShapeDtypeStruct((span_pad,), jnp.int32)]
+                       * (nacc + 1)
+                       + [jax.ShapeDtypeStruct((1,), jnp.int32)]),
+            interpret=interpret,
+            compiler_params=_cparams(),
+        )(jnp.stack([m.astype(jnp.int32),
+                     jnp.asarray(span0, jnp.int32) + m * 0]),
+          *[pcols[k] for k in probe_names], pvalid, packed)
+
+    return _combine_outputs(outs, aggs, widths, span0, m, jnp.int32)

@@ -360,6 +360,8 @@ def fused_join_aggregate(
             out_shape=([jax.ShapeDtypeStruct((span,), jnp.int32)] * (nacc + 1)
                        + [jax.ShapeDtypeStruct((1,), jnp.int32)]),
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )(m.reshape(1).astype(jnp.int32),
           *[pcols[k] for k in probe_names], pvalid,
           *[slot_cols[k] for k in slot_names], present.astype(jnp.int32))

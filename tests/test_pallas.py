@@ -484,3 +484,43 @@ def test_q4_factored_path_matches_default(monkeypatch):
     for c in out_ref.columns:
         np.testing.assert_array_equal(np.asarray(out_ref.columns[c])[vr],
                                       np.asarray(out_p.columns[c])[vp])
+
+
+def test_bcast_join_agg_matches_blocked():
+    """Experimental broadcast-window fused kernel (not dispatched; see its
+    docstring) stays row-exact vs the XLA blocked formulation."""
+    from flock_tpu.ops import blocked
+    from flock_tpu.pallas import factored
+
+    rng = np.random.default_rng(5)
+    span, n = 8192, 16384
+    pres = rng.random(span) < 0.85
+    blo = rng.integers(0, 500, span).astype(np.int32)
+    bhi = (blo + rng.integers(10, 1000, span)).astype(np.int32)
+    # per-4096-block key span ~ 512+130: inside BOTH kernels' windows
+    fr = (np.arange(n, dtype=np.int64) * (span - 6144) // n).astype(np.int32)
+    key = (fr + rng.integers(-120, 10, n)).clip(0).astype(np.int32)
+    price = rng.integers(1, 10**6, n).astype(np.int32)
+    pt = rng.integers(0, 1500, n).astype(np.int32)
+    pv = rng.random(n) < 0.9
+
+    def replay(bc, pair):
+        return bc, pair & (bc["pt"] >= bc["blo"]) & (bc["pt"] <= bc["bhi"])
+
+    aggs = [("price", "max", "final"), (None, "count", "cnt"),
+            ("price", "sum", "total")]
+    slots = {"blo": jnp.asarray(blo), "bhi": jnp.asarray(bhi)}
+    pcols = {"k": jnp.asarray(key), "price": jnp.asarray(price),
+             "pt": jnp.asarray(pt)}
+    o1, v1, e1 = blocked.blocked_join_aggregate(
+        slots, jnp.asarray(pres), jnp.int32(0), pcols, jnp.asarray(pv),
+        "k", replay, aggs, span, block=4096, s_loc=1024)
+    o2, v2, e2 = factored.pallas_bcast_join_agg(
+        slots, jnp.asarray(pres), jnp.int32(0), pcols, jnp.asarray(pv),
+        "k", replay, aggs, s_loc=512, interpret=True)
+    assert not bool(e1) and not bool(e2)
+    v1, v2 = np.asarray(v1), np.asarray(v2)
+    np.testing.assert_array_equal(v1, v2)
+    for c in ("final", "cnt", "total", "__key"):
+        np.testing.assert_array_equal(np.asarray(o1[c])[v1],
+                                      np.asarray(o2[c])[v2], err_msg=c)
