@@ -120,11 +120,19 @@ class Batch:
     # -- host materialization -------------------------------------------------
     def to_numpy(self, restore_ts: tuple[str, ...] = ()) -> dict[str, np.ndarray]:
         """Compact to live rows on host; named int32 ts columns are restored
-        to absolute int64 ms."""
-        valid = np.asarray(self.valid)
+        to absolute int64 ms.  All device→host transfers issue in ONE
+        jax.device_get so they pipeline instead of paying a control
+        round-trip per column (the remote tunnel costs ~30 ms each;
+        measured as half of q11's emission time before this)."""
+        import jax
+
+        names = list(self.columns)
+        fetched = jax.device_get([self.valid]
+                                 + [self.columns[n] for n in names])
+        valid = fetched[0]
         out = {}
-        for name, arr in self.columns.items():
-            h = np.asarray(arr)[valid]
+        for name, h in zip(names, fetched[1:]):
+            h = h[valid]
             if name in restore_ts:
                 h = h.astype(np.int64) + TS_BASE
             out[name] = h
