@@ -990,11 +990,15 @@ def pallas_bcast_join_agg(slot_cols, present, m, probe_cols, probe_valid,
     placement.  Same contract and replay convention as
     blocked_join_aggregate.
 
-    STATUS (round 4): row-exact in interpret mode (test_pallas); the
-    backend compiler SIGABRTs on the compiled form (the roll-based window
-    load is the prime suspect) — NOT dispatched anywhere.  Expected win if
-    fixed is modest (~1.2× over the XLA fused scan: halved window ops plus
-    ~3 ms of accumulator HBM traffic per 4M rows)."""
+    STATUS (round 4, measured): row-exact in interpret mode (test_pallas)
+    and compiles at full scale for sum-free agg sets (sum-limb accumulator
+    variants SIGABRT the backend at 256K spans).  At the real q4 shape it
+    measures 20.4 ms/4M rows vs 14.3 ms for the XLA fused scan — the 1-D
+    1024-granularity constraint forces this kernel's window to 1024 slots
+    while XLA windows exactly s_loc=512, and per-op rates are equal, so it
+    LOSES 1.4× and is NOT dispatched.  A sub-1024 Pallas window needs
+    sub-frame 1-D slicing the backend does not lower; kept as the
+    starting point if that constraint lifts."""
     span0 = present.shape[0]
     n = probe_valid.shape[0]
     _, _, w_a = _bcast_windows(s_loc)
