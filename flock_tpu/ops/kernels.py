@@ -257,16 +257,25 @@ def dense_group_aggregate(
         return scatter_path()
 
     agg_cols = {c: cols[c] for c, f, _ in aggs if c is not None}
+    n = valid.shape[0]
     if out_capacity <= FULL_ONEHOT_MAX:
-        out, ovalid, ovf = blocked.full_onehot_agg(
-            cols[key], valid, agg_cols, list(aggs), out_capacity)
-        out[key] = out.pop("__key")
-        return out, ovalid, ovf
+        # the unchunked one-hot materializes [n, span]: budget-gate it (XLA
+        # CPU does not stream the operand — a 4.6M-row session flush at span
+        # 4096 tried to allocate 137 GB, round 4); over budget, the blocked
+        # machinery below runs the SAME math chunked (window = whole span ⇒
+        # no locality assumption, rows never escape)
+        budget = (1 << 31) if jax.default_backend() == "tpu" else (1 << 27)
+        if n * out_capacity <= budget:
+            out, ovalid, ovf = blocked.full_onehot_agg(
+                cols[key], valid, agg_cols, list(aggs), out_capacity)
+            out[key] = out.pop("__key")
+            return out, ovalid, ovf
+        s_loc = out_capacity
+        allow_blocked = True
     if not allow_blocked:
         return scatter_path()
 
     s_loc = min(s_loc or AGG_S_LOC, out_capacity)
-    n = valid.shape[0]
     import os as _os
 
     from flock_tpu.pallas import agg as pallas_agg
