@@ -179,3 +179,38 @@ def test_distributed_ysb_matches_local():
 
     names = spec.schema.names
     assert rows(got_dist, names) == rows(got_local, names)
+
+
+def test_shuffle_byte_tally_trace_time():
+    """The collective byte tally (parallel/shuffle.TALLY) records exact
+    per-shard ICI bytes at trace time — the contract bench/scaling_model.py
+    builds SCALING artifacts on."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    import flock_tpu.parallel.shuffle as shuffle
+    from flock_tpu.parallel.mesh import AXIS, make_mesh
+
+    mesh = make_mesh(4)
+    cap = 256
+
+    def local(cols_k, valid):
+        out, v, ovf = shuffle.all_to_all_shuffle(
+            {"k": cols_k[0]}, valid[0], ["k"], 4)
+        return out["k"][None], v[None], ovf.reshape(1, 1)
+
+    fm = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(AXIS, None), P(AXIS, None)),
+        out_specs=P(AXIS, None)))
+    shuffle.TALLY = records = []
+    try:
+        jax.eval_shape(fm,
+                       jax.ShapeDtypeStruct((4, cap), jnp.int32),
+                       jax.ShapeDtypeStruct((4, cap), jnp.bool_))
+    finally:
+        shuffle.TALLY = None
+    a2a = [r for r in records if r["op"] == "all_to_all"]
+    assert len(a2a) == 2                      # key col + valid
+    # per-shard i32 buffer = n_shards*per_dest_cap*4B; moved = (n-1)/n of it
+    assert a2a[0]["ici_bytes_per_shard"] == 4 * cap * 4 * 3 // 4
