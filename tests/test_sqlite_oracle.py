@@ -275,3 +275,34 @@ def test_ysb_sqlite(cfg):
                         ["campaign_id", "count"])
     assert got == want
     conn.close()
+
+
+@pytest.mark.xfail(strict=True, reason=(
+    "ENGINE gap (PARITY.md): duplicate auction rows (generator counts "
+    "where 100000/G is not a multiple of 50, e.g. G=3) need bounded "
+    "fan-out joins; the dense slotting collapses duplicates by column-wise "
+    "max. The oracle (validated against sqlite above) is duplicate-"
+    "faithful; this records the engine divergence until the fan-out join "
+    "lands."))
+def test_engine_duplicate_auction_rows_q4():
+    from flock_tpu.queries.nexmark import get_query
+    from flock_tpu.runtime.stream import StreamDriver
+
+    seconds, eps, gens = 10, 350, 3
+    epochs = generate_epochs(seconds, eps, gens)
+    window = concat_relations(epochs, ("person", "auction", "bid"))
+    spec = get_query(4)
+    driver = StreamDriver(spec, seconds)
+    driver._window_epoch_ranges = lambda occupancy=None: [
+        (("win", 0, seconds), list(range(seconds)))]
+    results = driver.run(epochs)
+    got = sorted(
+        (int(results[0].columns["category"][i]),
+         round(float(results[0].columns["avg_final"][i]), 6))
+        for i in range(len(results[0].columns["category"])))
+    want_cols = oracle.q4(window["auction"], window["bid"])
+    want = sorted(
+        (int(want_cols["category"][i]),
+         round(float(want_cols["avg_final"][i]), 6))
+        for i in range(len(want_cols["category"])))
+    assert got == want
