@@ -90,3 +90,45 @@ def ysb_catalog() -> Catalog:
         functional_deps={"c_ad_id": ("campaign_id",)},
     ))
     return c
+
+
+# ---------------------------------------------------------------------------
+# Planner statistics (the analogue of DataFusion's table statistics): key
+# locality windows derived from the generator's frontier math — see
+# ops/kernels.py S_LOC_* — and value-range limb hints for the factored
+# pallas gather (pallas/factored._limb_plan, runtime-verified).
+# ---------------------------------------------------------------------------
+
+# column → the id domain it draws from (auction ids / person ids)
+ID_DOMAIN = {
+    "a_id": "auction", "auction": "auction",
+    "p_id": "person", "bidder": "person", "seller": "person",
+}
+
+
+def key_s_loc(key_col: str, driving_relation: str) -> int | None:
+    """Expected per-4096-row-block key span for ``key_col`` values over rows
+    of ``driving_relation`` (None → no statistic, default window)."""
+    from flock_tpu.ops import kernels as K
+
+    domain = ID_DOMAIN.get(key_col)
+    if domain is None:
+        return None
+    table = {
+        ("auction", "bid"): K.S_LOC_AUCTION_OVER_BID,
+        ("person", "bid"): K.S_LOC_PERSON_OVER_BID,
+        ("person", "auction"): K.S_LOC_PERSON_OVER_AUCTION,
+        ("auction", "auction"): K.S_LOC_DENSE_IDS,
+        ("person", "person"): K.S_LOC_DENSE_IDS,
+    }
+    return table.get((domain, driving_relation))
+
+
+# value-range limb hints: 1 ⇒ values verified in [0, 2^8), 3 ⇒ [0, 2^24)
+# (categories: 5 values from 10; dictionary codes; window-rebased timestamps
+# span < 2^24 ms; sellers are person ids < 2^24 for realistic streams)
+COLUMN_LIMBS = {
+    "category": 1, "name": 1, "city": 1, "state": 1,
+    "a_date_time": 3, "expires": 3, "seller": 3, "value": 3,
+    "initial_bid": 4, "reserve": 4, "campaign_id": 3,
+}

@@ -230,8 +230,25 @@ class Lowerer:
         take = tuple((c, c) for c in build.columns
                      if c in needed and c != bk and c not in probe.columns)
 
+        # planner statistics (catalog.key_s_loc/COLUMN_LIMBS): locality
+        # windows + factored-gather limb hints, exactly as the hand-built
+        # plans carry (queries/nexmark.py); escapes keep them safe
+        from flock_tpu.ops import kernels as _K
+        from flock_tpu.sql.catalog import COLUMN_LIMBS, ID_DOMAIN, key_s_loc
+
+        probe_base = ("bid" if "bid" in probe.base_relations
+                      else next(iter(probe.base_relations))
+                      if len(probe.base_relations) == 1 else None)
+        p_s_loc = key_s_loc(pk, probe_base) if probe_base else None
+        b_s_loc = (_K.S_LOC_DENSE_IDS
+                   if bk in build.unique_keys and bk in ID_DOMAIN
+                   and len(build.base_relations) == 1 else None)
+        take_limbs = tuple((d, COLUMN_LIMBS[d]) for _, d in take
+                           if d in COLUMN_LIMBS)
         plan = Join(build=build.plan, probe=probe.plan,
-                    build_key=bk, probe_key=pk, take=take)
+                    build_key=bk, probe_key=pk, take=take,
+                    probe_s_loc=p_s_loc, build_s_loc=b_s_loc,
+                    take_limbs=take_limbs)
         # materialize the build key under its own name as a zero-cost alias of
         # the probe key (they are equal on surviving rows), so downstream SQL
         # can reference either (q4 groups by a_id; the joined rows carry it as
@@ -323,8 +340,16 @@ class Lowerer:
                     raise ValueError(e.fn)
             else:
                 raise ValueError(f"unsupported select item {e}")
+        from flock_tpu.sql.catalog import key_s_loc as _ksl
+
+        s_loc_hint = None
+        if len(keys) == 1:
+            driving = ("bid" if "bid" in rel.base_relations
+                       else next(iter(rel.base_relations))
+                       if len(rel.base_relations) == 1 else None)
+            s_loc_hint = _ksl(keys[0], driving) if driving else None
         agg_node = Aggregate(rel.plan, group_keys=tuple(keys),
-                             aggs=tuple(aggs))
+                             aggs=tuple(aggs), s_loc=s_loc_hint)
         proj = Project(agg_node, tuple(
             (n, src) for n, src in projections))
 

@@ -146,3 +146,28 @@ def test_sql_parse_errors():
         parse_sql("SELECT FROM bid")
     with pytest.raises(SyntaxError):
         parse_sql("SELEC * FROM bid")
+
+
+def test_sql_plans_carry_planner_statistics():
+    """SQL-lowered joins/aggregates carry the same locality windows and
+    factored-gather limb hints as the hand-built plans (catalog.key_s_loc /
+    COLUMN_LIMBS — the DataFusion-statistics analogue)."""
+    from flock_tpu.ops import kernels as K
+    from flock_tpu.plan import Aggregate, Join, walk
+    from flock_tpu.sql.catalog import nexmark_catalog
+    from flock_tpu.sql.lower import sql_to_spec
+
+    spec = sql_to_spec(NEXMARK_SQL[4], nexmark_catalog())
+    joins = [n for n in walk(spec.plan) if isinstance(n, Join)]
+    assert joins, "q4 SQL lowering lost its join"
+    jn = joins[0]
+    assert jn.probe_s_loc == K.S_LOC_AUCTION_OVER_BID
+    assert jn.build_s_loc == K.S_LOC_DENSE_IDS
+    assert dict(jn.take_limbs).get("category") == 1
+
+    spec11 = sql_to_spec(
+        "SELECT bidder, Count(*) AS bid_count FROM bid GROUP BY bidder;",
+        nexmark_catalog())
+    aggs = [n for n in walk(spec11.plan) if isinstance(n, Aggregate)
+            and n.group_keys and "bidder" in n.group_keys]
+    assert any(a.s_loc == K.S_LOC_PERSON_OVER_BID for a in aggs)
