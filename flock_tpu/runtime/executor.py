@@ -9,6 +9,7 @@ host materialization with timestamp restore and dictionary decode.
 from __future__ import annotations
 
 from dataclasses import dataclass
+import functools
 from functools import partial
 
 import jax
@@ -96,6 +97,87 @@ def _run_plan_session_tables(plan, agg_capacity: int, rel: str, key: str,
     valid = hit & (joined["__ok"] <= cidvec) & (cidvec < joined["__end"])
     return compile_plan(plan, agg_capacity)(
         {rel: Batch(columns=cols, valid=valid)})
+
+
+def _consts_fast_shape(plan, rel: str, const_names) -> bool:
+    """True when the plan is a single-key Aggregate over the driving scan
+    whose non-count aggregations all target per-chunk CONSTANT columns —
+    q12's shape.  Then min/max/sum over the constant derive from per-chunk
+    COUNTS (one cheap count aggregation per chunk) instead of full
+    reductions over every row."""
+    from flock_tpu.plan import Aggregate, Scan
+
+    if not (isinstance(plan, Aggregate) and isinstance(plan.child, Scan)
+            and plan.child.relation == rel and len(plan.group_keys) == 1
+            and plan.mode == "single"):
+        return False
+    return all(fn == "count" or (c in const_names
+                                 and fn in ("min", "max", "sum"))
+               for c, fn, _ in plan.aggs)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 4))
+def _run_plan_consts_fast(plan, agg_capacity: int, rel: str,
+                          chunks: list[Batch],
+                          const_names: tuple[str, ...],
+                          const_vals: jax.Array):
+    """The _consts_fast_shape specialization: per-chunk grouped COUNTS (the
+    cheapest aggregation form) + tiny [capacity]-vector combines across the
+    ≤window chunks recover count/min/max/sum over the constant columns."""
+    import numpy as _np
+
+    from flock_tpu.ops import kernels as _k
+
+    key = plan.group_keys[0]
+    I64_MAX = _np.int64(2**63 - 1)
+    I64_MIN = _np.int64(-(2**63))
+    m = functools.reduce(jnp.minimum, [
+        jnp.min(jnp.where(ch.valid, ch.columns[key].astype(jnp.int64),
+                          I64_MAX)) for ch in chunks]).astype(jnp.int32)
+    over = jnp.asarray(False)
+    cnts = []
+    for ch in chunks:
+        k32 = ch.columns[key].astype(jnp.int32)
+        out, _ov, esc = _k.dense_group_aggregate(
+            {key: k32}, ch.valid, key,
+            [(None, "count", "__fast_cnt")], agg_capacity,
+            s_loc=plan.s_loc)
+        over = over | esc
+        # each chunk's aggregation anchors at ITS OWN minimum key; shift the
+        # slot vector so every chunk aligns to the window-global base m
+        has = jnp.any(ch.valid)
+        cmin = jnp.min(jnp.where(ch.valid, k32, _np.int32(2**31 - 1)))
+        # keys beyond the shared-base capacity would silently truncate in
+        # the alignment slice — flag them as overflow instead
+        over = over | (jnp.max(jnp.where(ch.valid, k32, m)) - m
+                       >= agg_capacity)
+        off = jnp.clip(jnp.where(has, cmin - m, 0), 0, agg_capacity)
+        padded = jnp.concatenate(
+            [jnp.zeros((agg_capacity,), jnp.int32), out["__fast_cnt"]])
+        cnts.append(jax.lax.dynamic_slice(
+            padded, (agg_capacity - off,), (agg_capacity,)))
+    total = functools.reduce(jnp.add, cnts)
+    occ = total > 0
+    cols_out = {key: m + jnp.arange(agg_capacity, dtype=jnp.int32)}
+    name_idx = {nm: j for j, nm in enumerate(const_names)}
+    for c, fn, out_name in plan.aggs:
+        if fn == "count":
+            cols_out[out_name] = total
+            continue
+        vals = [const_vals[i, name_idx[c]] for i in range(len(chunks))]
+        if fn == "sum":
+            acc = functools.reduce(jnp.add, [
+                cnt.astype(jnp.int64) * v.astype(jnp.int64)
+                for cnt, v in zip(cnts, vals)])
+        else:
+            sent = I64_MAX if fn == "min" else I64_MIN
+            red = jnp.minimum if fn == "min" else jnp.maximum
+            acc = functools.reduce(red, [
+                jnp.where(cnt > 0, jnp.asarray(v, jnp.int64), sent)
+                for cnt, v in zip(cnts, vals)])
+        cols_out[out_name] = acc.astype(jnp.int32) \
+            if fn != "sum" else acc
+    return Batch(columns=cols_out, valid=occ), over
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 4))
@@ -222,8 +304,12 @@ class LocalExecutor:
         METRICS.count(f"q{self.spec.number}.windows")
         METRICS.count(f"q{self.spec.number}.rows_in",
                       sum(ch.valid.shape[0] for ch in chunks))
+        runner = (_run_plan_consts_fast
+                  if _consts_fast_shape(self.spec.plan,
+                                        self._driving_relation(), names)
+                  else _run_plan_consts)
         with METRICS.timer(f"q{self.spec.number}.execute_s"):
-            out, overflow = _run_plan_consts(
+            out, overflow = runner(
                 self.spec.plan, agg_capacity, self._driving_relation(),
                 chunks, names, jax.device_put(vals))
         if check_overflow and bool(overflow):
