@@ -82,6 +82,11 @@ def compact(cols: dict[str, jax.Array], valid: jax.Array, out_capacity: int):
     return out, out_valid, n > out_capacity
 
 
+def _dinfo(v: jax.Array):
+    return (jnp.finfo(v.dtype) if jnp.issubdtype(v.dtype, jnp.floating)
+            else jnp.iinfo(v.dtype))
+
+
 def _scatter_aggs(seg: jax.Array, svalid: jax.Array, scols: dict,
                   aggs, out_capacity: int) -> dict[str, jax.Array]:
     """Scatter-based aggregation into ``out_capacity`` segments.
@@ -109,16 +114,31 @@ def _scatter_aggs(seg: jax.Array, svalid: jax.Array, scols: dict,
                 v.astype(acc), mode="drop")
         elif fn == "min":
             v = scols[in_col]
-            info = (jnp.finfo(v.dtype) if jnp.issubdtype(v.dtype, jnp.floating)
-                    else jnp.iinfo(v.dtype))
-            init = jnp.full((out_capacity,), info.max, v.dtype)
+            init = jnp.full((out_capacity,), _dinfo(v).max, v.dtype)
             out[out_name] = init.at[seg].min(v, mode="drop")
         elif fn == "max":
             v = scols[in_col]
-            info = (jnp.finfo(v.dtype) if jnp.issubdtype(v.dtype, jnp.floating)
-                    else jnp.iinfo(v.dtype))
-            init = jnp.full((out_capacity,), info.min, v.dtype)
+            init = jnp.full((out_capacity,), _dinfo(v).min, v.dtype)
             out[out_name] = init.at[seg].max(v, mode="drop")
+        elif fn.startswith("wmin:"):
+            # winner-carry: min(in_col) over the rows attaining the group MAX
+            # of the order column named after the colon (q6's "seller of the
+            # winning bid" under duplicate-auction join fan-out — the SQL
+            # ROW_NUMBER()=1 carry with ties broken toward the smaller carry).
+            # Two scatter passes: group-max of the order column, then min of
+            # the carry over rows equal to it.  Re-aggregation of partials
+            # with the same fn is exact: min over shards attaining the global
+            # max.  Collapses to plain min when the carry is functionally
+            # dependent on the group key (unique build rows).
+            ov = scols[fn[5:]]
+            omax = jnp.full((out_capacity,), _dinfo(ov).min, ov.dtype
+                            ).at[seg].max(ov, mode="drop")
+            segc = jnp.clip(seg, 0, out_capacity - 1)
+            attain = svalid & (seg < out_capacity) & (ov == omax[segc])
+            v = scols[in_col]
+            seg2 = jnp.where(attain, seg, out_capacity)
+            out[out_name] = jnp.full((out_capacity,), _dinfo(v).max, v.dtype
+                                     ).at[seg2].min(v, mode="drop")
         else:
             raise ValueError(fn)
     return out
@@ -253,7 +273,9 @@ def dense_group_aggregate(
         picked = lax.cond(ok64, fast_branch, slow_branch)
         return dict(zip(names, picked[:-2])), picked[-2], picked[-1]
 
-    if not int32_only:
+    if not int32_only or any(f.startswith("wmin:") for _, f, _ in aggs):
+        # winner-carry aggregation is two dependent scatter passes — the
+        # one-hot/blocked kernels don't express it (correctness path only)
         return scatter_path()
 
     agg_cols = {c: cols[c] for c, f, _ in aggs if c is not None}
@@ -357,7 +379,8 @@ def group_aggregate(
         return dense_group_aggregate(cols, valid, group_keys[0], aggs,
                                      out_capacity, allow_blocked, s_loc)
     needed = list(dict.fromkeys(
-        group_keys + [c for c, f, _ in aggs if f != "count" and c is not None]))
+        group_keys + [c for c, f, _ in aggs if f != "count" and c is not None]
+        + [f[5:] for _, f, _ in aggs if f.startswith("wmin:")]))
     sub = {k: cols[k] for k in needed}
     if group_keys:
         scols, svalid = sort_rows(sub, valid, group_keys)
@@ -376,38 +399,7 @@ def group_aggregate(
     for k in group_keys:
         out[k] = jnp.zeros((out_capacity,), scols[k].dtype).at[seg].set(
             scols[k], mode="drop")
-    for in_col, fn, out_name in aggs:
-        if fn == "count":
-            ones = jnp.ones_like(svalid, dtype=jnp.int32)
-            out[out_name] = jnp.zeros((out_capacity,), jnp.int32).at[seg].add(
-                ones, mode="drop")
-        elif fn == "count_sum":
-            # re-aggregation of partial counts: int32 sum (stays int32, unlike
-            # general integer "sum" which widens to int64)
-            out[out_name] = jnp.zeros((out_capacity,), jnp.int32).at[seg].add(
-                scols[in_col].astype(jnp.int32), mode="drop")
-        elif fn == "sum":
-            # Integer sums accumulate in int64 (TPU emulates i64 as i32 pairs;
-            # the exactness matters for AVG parity — f64 division happens at
-            # the sink from the exact integer sum).
-            v = scols[in_col]
-            acc_dtype = jnp.float32 if jnp.issubdtype(v.dtype, jnp.floating) else jnp.int64
-            out[out_name] = jnp.zeros((out_capacity,), acc_dtype).at[seg].add(
-                v.astype(acc_dtype), mode="drop")
-        elif fn == "min":
-            v = scols[in_col]
-            info = (jnp.finfo(v.dtype) if jnp.issubdtype(v.dtype, jnp.floating)
-                    else jnp.iinfo(v.dtype))
-            init = jnp.full((out_capacity,), info.max, v.dtype)
-            out[out_name] = init.at[seg].min(v, mode="drop")
-        elif fn == "max":
-            v = scols[in_col]
-            info = (jnp.finfo(v.dtype) if jnp.issubdtype(v.dtype, jnp.floating)
-                    else jnp.iinfo(v.dtype))
-            init = jnp.full((out_capacity,), info.min, v.dtype)
-            out[out_name] = init.at[seg].max(v, mode="drop")
-        else:
-            raise ValueError(fn)
+    out.update(_scatter_aggs(seg, svalid, scols, aggs, out_capacity))
     out_valid = jnp.arange(out_capacity) < jnp.minimum(n_seg, out_capacity)
     return out, out_valid, n_seg > out_capacity
 
@@ -460,13 +452,29 @@ def lookup_join(
     build_s_loc: int | None = None,
     build_slotted: bool = False,
     take_limbs: dict | None = None,
+    dup_expand: bool = True,
+    out_capacity: int | None = None,
 ):
-    """N-to-1 inner join: probe rows keep their slots; matched build columns
+    """Inner hash join: probe rows keep their slots; matched build columns
     are gathered alongside.  Unmatched probe rows become invalid.
 
-    Requires unique keys on the live build rows (true for every join in the
-    NEXMark/YSB suite; see module docstring).  Returns (out_cols, out_valid,
-    overflow).
+    Unique build keys (every primary NEXMark/YSB join; see module docstring)
+    take the N-to-1 fast path.  Duplicate build keys — real reference
+    behavior when the generator id striping misaligns (100_000/G not a
+    multiple of the 50-event proportion denominator, event.rs:86-88 +
+    Auction::last_id) — are detected at runtime from a per-slot count and
+    execute a *fan-out* expansion (``lax.cond``, so clean windows pay only
+    the count): each duplicate build row beyond the first emits an extra
+    joined row into the free slots of the ``out_capacity`` output buffer,
+    matching DataFusion's duplicate-faithful hash join (the reference executes
+    q4.sql's INNER JOIN through it, distributed_plan/stage.rs:307).
+    Multiplicity is unbounded (sort-merge ranges); extras beyond the free
+    slots raise the overflow flag (callers widen and retry).  With
+    ``dup_expand=False`` (declared-unique build, e.g. q13's side input)
+    duplicates raise the overflow flag instead of expanding.
+
+    Returns (out_cols, out_valid, overflow) at ``out_capacity`` rows
+    (defaults to the probe capacity).
 
     Fast path: build keys are *dense* integers (consecutively generated ids),
     so the "hash table" is a per-key-slot array over the key span.  Both
@@ -479,92 +487,172 @@ def lookup_join(
     Build keys falling outside ``build_capacity + span_margin`` slots above
     the minimum raise the overflow flag; callers can widen or fall back to
     ``sorted_lookup_join``.  The default margin covers the generator id
-    striping (ids jump by (100_000/num_generators)*proportion between
-    partitions, event.rs:86-88): ≤6000 slots for auctions, ≤2000 for persons.
+    striping: ≤6000 slots for auctions, ≤2000 for persons.
     """
+    import os
+
     from flock_tpu.config import CONFIG
     from flock_tpu.ops import blocked
+    from flock_tpu.pallas import factored
 
     if span_margin is None:
         span_margin = CONFIG.join_span_margin
     bk = build_cols[build_key]
+    take_list = list(take)
     if build_slotted:
         # build side is already a dense-slot aggregate output (slot i holds
-        # key col[0]+i): reuse it directly, no re-slotting pass at all
+        # key col[0]+i, one row per slot by construction): reuse it directly,
+        # no re-slotting pass and no duplicate machinery at all
         span = bk.shape[0]
         slots = {src: build_cols[src] for src in take}
         present = build_valid
         ovf_b = jnp.asarray(False)
         m = bk[0]
+        has_dups = None
     else:
         span = bk.shape[0] + span_margin
         # slot the build side: unique keys ⇒ max() over each take-col == the
-        # value.  Default path is the scatter (build keys are usually
-        # slot-ordered/ascending, which escapes the default blocked window);
-        # a ``build_s_loc`` hint sized to the ascending span enables the
-        # blocked one-hot instead.
-        slot_aggs = [(src, "max", src) for src in take]
+        # value; the count column detects duplicates.  Default path is the
+        # scatter (build keys are usually slot-ordered/ascending, which
+        # escapes the default blocked window); a ``build_s_loc`` hint sized
+        # to the ascending span enables the blocked one-hot instead.
+        slot_aggs = [(src, "max", src) for src in take] \
+            + [(None, "count", "__dupcnt")]
         slots, present, ovf_b = dense_group_aggregate(
             {build_key: bk, **{src: build_cols[src] for src in take}},
             build_valid, build_key, slot_aggs, span,
             allow_blocked=build_s_loc is not None, s_loc=build_s_loc)
+        has_dups = jnp.any(slots.pop("__dupcnt") > 1)
         m = jnp.min(jnp.where(build_valid, bk, I32_MAX))
 
     pk = probe_cols[probe_key]
     n = pk.shape[0]
     pad = (-n) % AGG_BLOCK
-    take_list = list(take)
     slot_arrays = {src: slots[src] for src in take_list}
-    import os as _os
+    pnames = list(probe_cols)
+    E = n if (build_slotted or not dup_expand or out_capacity is None) \
+        else max(out_capacity, n)
 
-    from flock_tpu.pallas import factored
+    def clean_path():
+        """Unique-key gather at [n]: take values + hit + residual overflow."""
+        eff_s_loc = min(probe_s_loc or AGG_S_LOC, span)
+        # limb hints keyed by OUTPUT name on the Join node; the gather works
+        # on build-source names
+        limbs_src = {src: take_limbs[take[src]] for src in take_list
+                     if take_limbs and take[src] in take_limbs} or None
+        if factored.enabled() and factored.join_preferred() \
+                and eff_s_loc <= 2048 \
+                and factored.gather_planes(take_list, limbs_src) \
+                <= factored.MAX_GATHER_PLANES \
+                and all(a.dtype == jnp.int32 for a in slot_arrays.values()) \
+                and pk.dtype == jnp.int32:
+            # factored matmul gather (pallas/factored): build cols reach probe
+            # rows through oh_hi @ window matmuls instead of [B, s_loc]
+            # one-hots; returns [n] directly
+            gathered, hit, escape = factored.pallas_factored_gather(
+                slot_arrays, present, m, pk, probe_valid, take_list,
+                s_loc=eff_s_loc, limbs=limbs_src)
+        else:
+            gathered, hit, escape = blocked.blocked_local_join(
+                slot_arrays, present, m,
+                jnp.pad(pk, (0, pad)), jnp.pad(probe_valid, (0, pad)),
+                take_list, block=min(AGG_BLOCK, n + pad), s_loc=eff_s_loc)
+        if os.environ.get("FLOCK_TPU_NO_FALLBACK"):
+            # bench mode: no runtime safety net; escapes surface as overflow
+            return (tuple(gathered[src][:n] for src in take_list)
+                    + (hit[:n], escape))
 
-    eff_s_loc = min(probe_s_loc or AGG_S_LOC, span)
-    # limb hints keyed by OUTPUT name on the Join node; the gather works on
-    # build-source names
-    limbs_src = {src: take_limbs[take[src]] for src in take_list
-                 if take_limbs and take[src] in take_limbs} or None
-    if factored.enabled() and factored.join_preferred() \
-            and eff_s_loc <= 2048 \
-            and factored.gather_planes(take_list, limbs_src) \
-            <= factored.MAX_GATHER_PLANES \
-            and all(a.dtype == jnp.int32 for a in slot_arrays.values()):
-        # factored matmul gather (pallas/factored): build cols reach probe
-        # rows through oh_hi @ window matmuls instead of [B, s_loc] one-hots
-        # returns [n] directly (downstream [:n] slices are no-ops)
-        gathered, hit, escape = factored.pallas_factored_gather(
-            slot_arrays, present, m, pk, probe_valid, take_list,
-            s_loc=eff_s_loc, limbs=limbs_src)
-    else:
-        gathered, hit, escape = blocked.blocked_local_join(
-            slot_arrays, present, m,
-            jnp.pad(pk, (0, pad)), jnp.pad(probe_valid, (0, pad)),
-            take_list, block=min(AGG_BLOCK, n + pad), s_loc=eff_s_loc)
+        # probe-locality safety net: per-row gather (slow but general),
+        # executed only when a block escaped its window (lax.cond)
+        def esc_branch():
+            q = (pk - m).astype(jnp.int32)
+            ok = probe_valid & (q >= 0) & (q < span)
+            qc = jnp.where(ok, q, 0)
+            h = ok & present[qc]
+            return tuple(slot_arrays[src][qc] for src in take_list) + (h,)
 
-    import os
-    if os.environ.get("FLOCK_TPU_NO_FALLBACK"):
+        def ok_branch():
+            return tuple(gathered[src][:n] for src in take_list) + (hit[:n],)
+
+        picked = lax.cond(escape, esc_branch, ok_branch)
+        # escape-derived False keeps the varying-axis type aligned with the
+        # dup branch's data-derived overflow under shard_map
+        return picked + (escape & False,)
+
+    if build_slotted or not dup_expand \
+            or os.environ.get("FLOCK_TPU_NO_FALLBACK"):
+        # declared-unique build (or bench mode, which strips every runtime
+        # safety net): duplicates surface as overflow instead of expanding
+        picked = clean_path()
         out = dict(probe_cols)
         for i, src in enumerate(take_list):
-            out[take[src]] = gathered[src][:n]
-        return out, hit[:n], ovf_b | escape
+            out[take[src]] = picked[i]
+        extra_ovf = picked[-1] if has_dups is None else picked[-1] | has_dups
+        return out, picked[-2], ovf_b | extra_ovf
 
-    # probe-locality safety net: per-row gather (slow but general), executed
-    # only when a block escaped its window (lax.cond)
-    def esc_branch():
-        q = (pk - m).astype(jnp.int32)
-        ok = probe_valid & (q >= 0) & (q < span)
-        qc = jnp.where(ok, q, 0)
-        h = ok & present[qc]
-        return tuple(slot_arrays[src][qc] for src in take_list) + (h,)
+    def _padE(a, fill=False):
+        if E == n:
+            return a
+        if a.dtype == jnp.bool_:
+            return jnp.pad(a, (0, E - n), constant_values=fill)
+        return jnp.pad(a, (0, E - n))
 
-    def ok_branch():
-        return tuple(gathered[src][:n] for src in take_list) + (hit[:n],)
+    def clean_branch():
+        picked = clean_path()
+        vals = tuple(_padE(v) for v in picked[:-2])
+        pvals = tuple(_padE(probe_cols[c]) for c in pnames)
+        return vals + pvals + (_padE(picked[-2]), picked[-1])
 
-    picked = lax.cond(escape, esc_branch, ok_branch)
-    out = dict(probe_cols)
+    def dup_branch():
+        # unbounded sort-merge fan-out: sort the build side by key, locate
+        # each probe key's duplicate range with two binary searches, emit the
+        # FIRST duplicate in the probe's own output slot and every further
+        # duplicate into the free slots of the [E] buffer (enumerated with
+        # cumsums + a rank→probe-row binary search — static shapes, no
+        # multiplicity bound; NEXMark id wraparound reaches multiplicity ≥15
+        # at production rates with misaligned generator counts).  Order among
+        # duplicates is irrelevant: every duplicate row is emitted, exactly
+        # like the reference's hash join.
+        nb = bk.shape[0]
+        ops = (jnp.where(build_valid, bk, I32_MAX),) \
+            + tuple(build_cols[s] for s in take_list) + (build_valid,)
+        srt = lax.sort(ops, num_keys=1, is_stable=True)
+        sk, svb = srt[0], srt[-1]
+        sb = dict(zip(take_list, srt[1:-1]))
+        lo = jnp.searchsorted(sk, pk).astype(jnp.int32)
+        hi = jnp.searchsorted(sk, pk, side="right").astype(jnp.int32)
+        loc = jnp.minimum(lo, nb - 1)
+        hit0 = probe_valid & (sk[loc] == pk) & svb[loc]
+        hit0E = _padE(hit0)
+        extras_i = jnp.where(hit0, hi - lo - 1, 0).astype(jnp.int32)
+        r_inc = jnp.cumsum(extras_i)              # inclusive extras cumsum
+        n_extras = r_inc[-1]
+        excl = r_inc - extras_i                   # exclusive start per row
+        freerank = jnp.cumsum((~hit0E).astype(jnp.int32)) - 1
+        is_extra = (~hit0E) & (freerank < n_extras)
+        f = jnp.where(is_extra, freerank, 0)
+        # extra f belongs to the probe row whose extras range covers f
+        src = jnp.minimum(jnp.searchsorted(r_inc, f, side="right"),
+                          n - 1).astype(jnp.int32)
+        d = f - excl[src] + 1                     # duplicate ordinal ≥ 1
+        bsrc = jnp.clip(lo[src] + d, 0, nb - 1)
+        vals = []
+        for s in take_list:
+            base = _padE(sb[s][loc])
+            vals.append(jnp.where(is_extra, sb[s][bsrc], base))
+        pvals = []
+        for c in pnames:
+            col = probe_cols[c]
+            pvals.append(jnp.where(is_extra, col[src], _padE(col)))
+        ex_ovf = n_extras > jnp.sum((~hit0E).astype(jnp.int32))
+        return tuple(vals) + tuple(pvals) + (hit0E | is_extra, ex_ovf)
+
+    picked = lax.cond(has_dups, dup_branch, clean_branch)
+    nt = len(take_list)
+    out = {c: picked[nt + j] for j, c in enumerate(pnames)}
     for i, src in enumerate(take_list):
         out[take[src]] = picked[i]
-    return out, picked[-1], ovf_b
+    return out, picked[-2], ovf_b | picked[-1]
 
 
 def rank_in_group(cols: dict[str, jax.Array], valid: jax.Array,

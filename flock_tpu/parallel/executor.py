@@ -86,9 +86,20 @@ def _composite_sort_key(cols, keys, desc):
 
 def _final_aggs(aggs):
     # count partials re-aggregate with an int32 sum (count_sum) so the final
-    # dtype matches the single-device executor's count output
+    # dtype matches the single-device executor's count output.  wmin winner-
+    # carries re-aggregate with the same fn (min over shards attaining the
+    # global max); the order column it names must keep its name across the
+    # partial (true for the engine's plans, where max-agg outputs keep their
+    # input name, e.g. q6's __order).
     return tuple((out, {"count": "count_sum"}.get(fn, fn), out)
                  for (_, fn, out) in aggs)
+
+
+def _expand_cap(n_probe: int, node) -> int | None:
+    """Fan-out headroom for duplicate build keys (see plan.py Join lowering)."""
+    if node.unique_build:
+        return None
+    return n_probe + max((n_probe // 2 + 127) // 128 * 128, 128)
 
 
 def lower_dist(node: Node, tables: dict, ctx: _Ctx):
@@ -134,7 +145,8 @@ def lower_dist(node: Node, tables: dict, ctx: _Ctx):
         pcols, pvalid, o2 = lower_dist(node.probe, tables, ctx)
         cols, valid, o3 = kernels.lookup_join(
             gcols, gvalid, node.build_key, pcols, pvalid, node.probe_key,
-            dict(node.take))
+            dict(node.take), dup_expand=not node.unique_build,
+            out_capacity=_expand_cap(pvalid.shape[0], node))
         if node.post_filter is not None:
             valid = valid & node.post_filter(cols)
         return cols, valid, o1 | o2 | o3
@@ -234,11 +246,15 @@ def lower_dist(node: Node, tables: dict, ctx: _Ctx):
             # common to both branches.
             jn = node.join
             names = sorted(out)
+            gkeys = [node.group_key] + (
+                [node.group_key2] if node.group_key2 else [])
 
             def esc_branch():
                 jcols, jvalid, jo = kernels.lookup_join(
                     gcols, gvalid, jn.build_key, pcols, pvalid,
-                    jn.probe_key, dict(jn.take))
+                    jn.probe_key, dict(jn.take),
+                    dup_expand=not jn.unique_build,
+                    out_capacity=_expand_cap(pvalid.shape[0], jn))
                 if jn.post_filter is not None:
                     jvalid = jvalid & jn.post_filter(jcols)
                 cols2, v2 = dict(jcols), jvalid
@@ -250,7 +266,7 @@ def lower_dist(node: Node, tables: dict, ctx: _Ctx):
                                       else e(cols2))
                                  for nm, e in nd.exprs}
                 pc2, pv2, o5 = kernels.group_aggregate(
-                    cols2, v2, [node.group_key], list(node.aggs), span,
+                    cols2, v2, gkeys, list(node.aggs), span,
                     allow_blocked=False)
                 return (tuple(pc2[nm] for nm in names)
                         + (pv2, (jo | o5).reshape(())))
@@ -263,12 +279,14 @@ def lower_dist(node: Node, tables: dict, ctx: _Ctx):
             out = dict(zip(names, picked[:-2]))
             valid = picked[-2]
             needs_fb = picked[-1]
+        gkeys = [node.group_key] + ([node.group_key2] if node.group_key2
+                                    else [])
         per_dest = min(span, max(4 * (span // ctx.n_shards), 2048))
         scols, svalid, o3 = all_to_all_shuffle(
-            out, valid, [node.group_key], ctx.n_shards,
+            out, valid, gkeys, ctx.n_shards,
             per_dest_cap=per_dest, axis=ctx.axis)
         fcols, fvalid, o4 = kernels.group_aggregate(
-            scols, svalid, [node.group_key],
+            scols, svalid, gkeys,
             list(_final_aggs(node.aggs)), span)
         return fcols, fvalid, o1 | o2 | needs_fb | o3 | o4
 
@@ -340,7 +358,23 @@ class DistributedExecutor:
                        capacities: dict[str, int] | None = None):
         """Run one window.  ``shard_tables[i]`` holds shard i's host columns
         per relation.  Returns materialized host columns (all shards merged).
+
+        On capacity overflow the shard capacities double and the window
+        retries (the reference's guard-and-retry posture around payload
+        limits) — e.g. join fan-out extras under duplicate build keys, whose
+        density is generator-stratified and can concentrate on one shard.
         """
+        for attempt in range(6):
+            try:
+                return self._execute_window_once(
+                    shard_tables, capacities, widen=2 ** attempt)
+            except OverflowError:
+                if attempt == 5:
+                    raise
+
+    def _execute_window_once(self, shard_tables,
+                             capacities: dict[str, int] | None,
+                             widen: int = 1):
         n = self.n_shards
         assert len(shard_tables) == n
         rels = sorted({r for st in shard_tables for r in st})
@@ -354,7 +388,8 @@ class DistributedExecutor:
             names = sorted({c for st in shard_tables for c in st.get(rel, {})})
             m = max((len(next(iter(st[rel].values()))) for st in shard_tables
                      if rel in st and st[rel]), default=1)
-            cap = capacities.get(rel) or max(round_up(max(m, 1)), 128)
+            cap = (capacities.get(rel) or max(round_up(max(m, 1)), 128)) \
+                * widen
             cap_sig.append((rel, cap))
             stacked = {nm: [] for nm in names}
             valids = []

@@ -81,9 +81,14 @@ class Aggregate(Node):
 
 @dataclass(frozen=True)
 class Join(Node):
-    """N-to-1 lookup join (see kernels.lookup_join).  ``post_filter`` runs on
+    """Inner lookup join (see kernels.lookup_join).  ``post_filter`` runs on
     the joined row (probe cols + taken build cols) — e.g. the q4/q9 interval
-    predicate b_date_time BETWEEN a_date_time AND expires."""
+    predicate b_date_time BETWEEN a_date_time AND expires.
+
+    Duplicate build keys fan out (bounded, duplicate-faithful — DataFusion
+    hash-join semantics); ``unique_build=True`` is the catalog's declaration
+    that build keys cannot duplicate (e.g. q13's side input), which skips the
+    expansion buffer and turns surprise duplicates into an overflow."""
 
     build: Node
     probe: Node
@@ -99,6 +104,7 @@ class Join(Node):
     # (pallas/factored._limb_plan): tuple[(out_name, limbs)] — 3 ⇒ values
     # verified at runtime in [0, 2²⁴), 1 ⇒ [0, 2⁸); violations escape
     take_limbs: tuple = ()
+    unique_build: bool = False
 
     def inputs(self):
         return (self.build, self.probe)
@@ -182,7 +188,9 @@ def _slot_dense(node: Node, key: str) -> bool:
         return (node.group_keys == (key,)
                 and not _sorted_by(node.child, key))
     if isinstance(node, FusedJoinAggregate):
-        return node.group_key == key
+        # a secondary key means dup windows emit >1 row per primary key
+        # (fallback's multi-key output is not slotted)
+        return node.group_key == key and node.group_key2 is None
     return False
 
 
@@ -258,13 +266,21 @@ def lower(node: Node, tables: dict[str, Batch], agg_capacity: int | None = None)
                 p.cols, p.valid, node.probe_key, dict(node.take))
             ovf = jnp.asarray(False)
         else:
+            exp_cap = None
+            if not node.unique_build and not b_slotted:
+                # fan-out headroom for duplicate build keys: half the probe
+                # capacity of free tail (plus whatever padding the probe
+                # already carries); beyond that → overflow, caller widens
+                n_p = p.valid.shape[0]
+                exp_cap = n_p + max((n_p // 2 + 127) // 128 * 128, 128)
             cols, valid, ovf = kernels.lookup_join(
                 b.cols, b.valid, node.build_key,
                 p.cols, p.valid, node.probe_key, dict(node.take),
                 probe_s_loc=node.probe_s_loc, build_s_loc=node.build_s_loc,
                 build_slotted=b_slotted,
                 take_limbs=dict(node.take_limbs) if node.take_limbs
-                else None)
+                else None,
+                dup_expand=not node.unique_build, out_capacity=exp_cap)
         if node.post_filter is not None:
             valid = valid & node.post_filter(cols)
         return Lowered(cols, valid, b.overflow | p.overflow | ovf)
@@ -319,10 +335,24 @@ def fused_dtypes_supported(node: "FusedJoinAggregate",
         return cols, pair
 
     try:
-        dts = blocked.fused_acc_dtypes(slot_like, p_cols, replay, list(node.aggs))
+        dts = blocked.fused_acc_dtypes(slot_like, p_cols, replay,
+                                       _fused_clean_aggs(node))
     except Exception:
         return False
     return all(jnp.issubdtype(dt, jnp.integer) for dt in dts.values())
+
+
+def _fused_clean_aggs(node: "FusedJoinAggregate") -> list:
+    """The aggregate list the CLEAN (unique-build-key) fused pass executes:
+    ``wmin:`` winner-carries lower to plain max (the carry is functionally
+    dependent on the group key when build keys are unique), and a secondary
+    group key is carried as one more max for the same reason.  Duplicate
+    build keys escape to the fallback before this approximation can bite."""
+    aggs = [(c, "max" if f.startswith("wmin:") else f, o)
+            for c, f, o in node.aggs]
+    if node.group_key2 is not None:
+        aggs.append((node.group_key2, "max", node.group_key2))
+    return aggs
 
 
 def fused_local_pass(node: "FusedJoinAggregate",
@@ -339,7 +369,8 @@ def fused_local_pass(node: "FusedJoinAggregate",
     jn = node.join
     span = b_valid.shape[0] + CONFIG.join_span_margin
     take = dict(jn.take)
-    slot_aggs = [(src, "max", src) for src in take]
+    slot_aggs = [(src, "max", src) for src in take] \
+        + [(None, "count", "__dupcnt")]
     # slotting is a 1:1 scatter of build rows; ascending build keys span a
     # whole block, so the DEFAULT blocked window would always escape — a
     # build_s_loc hint sized to the ascending span (S_LOC_DENSE_IDS) turns
@@ -349,6 +380,10 @@ def fused_local_pass(node: "FusedJoinAggregate",
          **{s: b_cols[s] for s in take}},
         b_valid, jn.build_key, slot_aggs, span,
         allow_blocked=jn.build_s_loc is not None, s_loc=jn.build_s_loc)
+    # duplicate build keys (misaligned-generator id wraparound) invalidate
+    # the max-collapsed slots AND the functional dependencies the clean pass
+    # leans on — escape to the duplicate-faithful fallback join
+    has_dups = jnp.any(slots.pop("__dupcnt") > 1)
     m = jnp.min(jnp.where(b_valid, b_cols[jn.build_key], I32_MAX))
     slot_cols = {dst: slots[src] for src, dst in take.items()}
 
@@ -382,30 +417,31 @@ def fused_local_pass(node: "FusedJoinAggregate",
 
     s_loc = jn.probe_s_loc or AGG_S_LOC
     limbs = dict(jn.take_limbs) if jn.take_limbs else None
+    aggs_k = _fused_clean_aggs(node)
     if factored.enabled() and factored.join_preferred() \
             and s_loc <= 2048 and factored.join_agg_eligible(
-                slot_cols, pcols, replay, list(node.aggs), limbs):
+                slot_cols, pcols, replay, aggs_k, limbs):
         # factored gather→row-filter→aggregate (pallas/factored): the join
         # never materializes and no [B, s_loc] one-hot is ever built
         out, ovalid, esc = factored.factored_join_agg_rebased(
             slot_cols, present, m, pcols, pvalid, jn.probe_key, replay,
-            list(node.aggs), s_loc=s_loc, limbs=limbs)
+            aggs_k, s_loc=s_loc, limbs=limbs)
     elif join_agg.fused_preferred() and join_agg.eligible(
-            slot_cols, pcols, replay, list(node.aggs)):
+            slot_cols, pcols, replay, aggs_k):
         # Pallas path (opt-in, FLOCK_TPU_PALLAS=2): span accumulators live in
         # VMEM across the grid instead of round-tripping HBM per block (int64
         # timestamps rebase to window-relative int32); the measured default
         # is the XLA fused scan — see join_agg.fused_preferred
         out, ovalid, esc = join_agg.fused_join_aggregate_rebased(
             slot_cols, present, m, pcols, pvalid, jn.probe_key, replay,
-            list(node.aggs))
+            aggs_k)
     else:
         out, ovalid, esc = blocked.blocked_join_aggregate(
             slot_cols, present, m, pcols, pvalid, jn.probe_key, replay,
-            list(node.aggs), span, block=min(AGG_BLOCK, n + pad),
+            aggs_k, span, block=min(AGG_BLOCK, n + pad),
             s_loc=s_loc)
     out[node.group_key] = out.pop("__key")
-    return out, ovalid & present, ovf_b, esc, span
+    return out, ovalid & present, ovf_b, esc | has_dups, span
 
 
 def _lower_fused(node: "FusedJoinAggregate", tables, agg_capacity) -> Lowered:
@@ -503,6 +539,7 @@ def referenced_columns(root: Node) -> set[str] | None:
         elif isinstance(n, Aggregate):
             cols.update(n.group_keys)
             cols.update(c for c, _, _ in n.aggs if c is not None)
+            cols.update(f[5:] for _, f, _ in n.aggs if f.startswith("wmin:"))
         elif isinstance(n, Join):
             if n.post_filter is not None:
                 return None
@@ -524,8 +561,18 @@ class FusedJoinAggregate(Node):
     """Join + (filters/projections) + grouped aggregation fused into one
     blocked pass (ops/blocked.blocked_join_aggregate) — joined rows are never
     materialized.  Produced by ``fuse_join_aggregates`` when an Aggregate's
-    single group key is the join key of a lookup Join below it (the
-    winning-bid core of q4/q9)."""
+    primary group key is the join key of a lookup Join below it (the
+    winning-bid core of q4/q9).
+
+    ``group_key2`` (optional) is a secondary group key that is a TAKEN build
+    column (q4's GROUP BY a_id, category): with unique build keys it is
+    functionally dependent on the primary key, so the fused pass groups by
+    key1 alone and carries key2 as a max — exactly one live (key1, key2)
+    pair per slot.  Duplicate build keys break the dependency; the fused
+    pass detects them at runtime and escapes to ``fallback`` (the original
+    multi-key Aggregate over the duplicate-faithful fan-out join).  The same
+    escape covers ``wmin:`` winner-carry aggregates, which the fused clean
+    pass lowers to a plain max under the dependency."""
 
     join: Join
     middle: tuple            # Filter/Project chain, join-side first
@@ -533,6 +580,10 @@ class FusedJoinAggregate(Node):
     aggs: tuple
     fallback: Node = None    # the original Aggregate subtree (escape path)
     out_capacity: int | None = None
+    # secondary group key: its aggregate-level name, which is also its name
+    # after the replayed middle chain (the fused kernels evaluate aggs on
+    # replayed columns, so this is the name the carry-max reads)
+    group_key2: str | None = None
 
     def inputs(self):
         return (self.join,)
@@ -547,60 +598,58 @@ def fuse_join_aggregates(node: Node) -> Node:
     if os.environ.get("FLOCK_TPU_NO_FUSE"):
         return node
 
+    import dataclasses
+
+    def resolve(chain, k):
+        """Map a column name top-down through the Project chain, or None."""
+        for nd in chain:
+            if isinstance(nd, Project):
+                src = dict(nd.exprs).get(k)
+                if not isinstance(src, str):
+                    return None
+                k = src
+        return k
+
     def rewrite(n: Node) -> Node:
-        if isinstance(n, Aggregate) and len(n.group_keys) == 1:
+        if isinstance(n, Aggregate) and len(n.group_keys) in (1, 2):
             chain = []
             cur = n.child
             while isinstance(cur, (Filter, Project)):
                 chain.append(cur)
                 cur = cur.child
             if isinstance(cur, Join):
-                # map the group key down through projections to the join
+                take_outs = set(dict(cur.take).values())
                 key = n.group_keys[0]
-                k = key
-                resolvable = True
-                for nd in chain:  # top-down
-                    if isinstance(nd, Project):
-                        src = dict(nd.exprs).get(k)
-                        if not isinstance(src, str):
-                            resolvable = False
-                            break
-                        k = src
-                int_aggs = all(fn in ("count", "count_sum", "sum", "min", "max")
+                k = resolve(chain, key)
+                int_aggs = all(fn in ("count", "count_sum", "sum", "min",
+                                      "max") or fn.startswith("wmin:")
                                for _, fn, _ in n.aggs)
-                if resolvable and int_aggs and \
-                        k in (cur.probe_key, cur.build_key):
-                    join = Join(build=rewrite(cur.build),
-                                probe=rewrite(cur.probe),
-                                build_key=cur.build_key,
-                                probe_key=cur.probe_key,
-                                take=cur.take, post_filter=cur.post_filter,
-                                probe_s_loc=cur.probe_s_loc,
-                                build_s_loc=cur.build_s_loc,
-                                take_limbs=cur.take_limbs)
+                # the clean fused pass lowers wmin winner-carries to max,
+                # valid only for TAKEN BUILD columns (functionally dependent
+                # on the unique join key; duplicates escape to fallback)
+                wmin_ok = all(resolve(chain, c) in take_outs
+                              for c, fn, _ in n.aggs
+                              if fn.startswith("wmin:"))
+                # a secondary group key must likewise be a taken build column
+                key2 = n.group_keys[1] if len(n.group_keys) == 2 else None
+                key2_ok = key2 is None or resolve(chain, key2) in take_outs
+                if k in (cur.probe_key, cur.build_key) and int_aggs \
+                        and wmin_ok and key2_ok:
+                    join = dataclasses.replace(
+                        cur, build=rewrite(cur.build),
+                        probe=rewrite(cur.probe))
                     return FusedJoinAggregate(
                         join=join, middle=tuple(reversed(chain)),
                         group_key=key, aggs=n.aggs, fallback=n,
-                        out_capacity=n.out_capacity)
+                        out_capacity=n.out_capacity, group_key2=key2)
         # generic recursion
         if isinstance(n, Aggregate):
-            return Aggregate(rewrite(n.child), n.group_keys, n.aggs, n.mode,
-                             n.out_capacity, n.s_loc)
-        if isinstance(n, Filter):
-            return Filter(rewrite(n.child), n.pred, n.label)
-        if isinstance(n, Project):
-            return Project(rewrite(n.child), n.exprs)
+            return dataclasses.replace(n, child=rewrite(n.child))
+        if isinstance(n, (Filter, Project, Rank, Sort, Compact)):
+            return dataclasses.replace(n, child=rewrite(n.child))
         if isinstance(n, Join):
-            return Join(rewrite(n.build), rewrite(n.probe), n.build_key,
-                        n.probe_key, n.take, n.post_filter,
-                        n.probe_s_loc, n.build_s_loc)
-        if isinstance(n, Rank):
-            return Rank(rewrite(n.child), n.group_key, n.order_col,
-                        n.descending, n.rank_name, n.tiebreak)
-        if isinstance(n, Sort):
-            return Sort(rewrite(n.child), n.keys, n.descending)
-        if isinstance(n, Compact):
-            return Compact(rewrite(n.child), n.out_capacity)
+            return dataclasses.replace(n, build=rewrite(n.build),
+                                       probe=rewrite(n.probe))
         return n
 
     return rewrite(node)

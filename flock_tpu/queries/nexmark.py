@@ -125,13 +125,16 @@ def _winning_bid_interval(extra_take: tuple = ()) -> Node:
 
 
 def q4() -> QuerySpec:
-    # GROUP BY a_id, category ≡ GROUP BY a_id with category carried via max
-    # (category is functionally dependent on a_id) — keeps the dense-key
-    # single-key aggregation path (kernels.dense_group_aggregate).
+    # GROUP BY a_id, category (q4.sql) — honest two-key grouping.  The fused
+    # clean pass still runs the dense single-key path (category is
+    # functionally dependent on a_id while auction ids are unique, so it
+    # groups by a_id and carries category via max — plan._fused_clean_aggs);
+    # duplicate auction ids (misaligned generator counts) escape at runtime
+    # to the duplicate-faithful fan-out join + multi-key aggregation.
     per_auction = Aggregate(
         _winning_bid_interval((("category", "category"),)),
-        group_keys=("auction",),
-        aggs=(("price", "max", "final"), ("category", "max", "category")),
+        group_keys=("auction", "category"),
+        aggs=(("price", "max", "final"),),
     )
     per_category = Aggregate(
         per_auction,
@@ -184,9 +187,14 @@ def q6() -> QuerySpec:
         ("__order", lambda c: (c["price"].astype(jnp.int64) << 32)
          | (jnp.int64(0xFFFFFFFF) - c["b_date_time"].astype(jnp.int64))),
     ))
+    # seller rides a winner-carry (wmin: min seller over rows attaining the
+    # max __order) — equal to a plain max while auction rows are unique
+    # (seller functionally dependent on auction), but duplicate auction rows
+    # can carry DIFFERENT sellers for one id; the oracle/SQL tiebreak is
+    # (price desc, time asc, seller asc), which wmin reproduces exactly
     win_agg = Aggregate(with_key, group_keys=("auction",),
                         aggs=(("__order", "max", "__order"),
-                              ("seller", "max", "seller")))
+                              ("seller", "wmin:__order", "seller")))
     winners = Project(win_agg, (
         ("auction", "auction"), ("seller", "seller"),
         ("price", lambda c: (c["__order"] >> 32).astype(jnp.int32)),
@@ -323,7 +331,8 @@ def q13() -> QuerySpec:
     plan = Project(
         Join(build=Scan("side_input"), probe=_bid_scan(),
              build_key="key", probe_key="auction",
-             take=(("value", "value"),)),
+             take=(("value", "value"),),
+             unique_build=True),  # catalog fact: side-input keys are unique
         (("auction", "auction"), ("bidder", "bidder"), ("price", "price"),
          ("b_date_time", "b_date_time"), ("value", "value")),
     )

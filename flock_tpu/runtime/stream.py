@@ -592,6 +592,9 @@ class StreamDriver:
                     base = self.executor.agg_capacity or (
                         max(caps.values()) + CONFIG.agg_span_margin)
                     self.executor.agg_capacity = base * 4
+                    # relation capacities widen too: join fan-out extras
+                    # (duplicate build keys) need free output slots
+                    caps = {r: c * 2 for r, c in caps.items()}
             out.append(WindowResult(tag, self.executor.materialize(b)))
         return out
 
@@ -615,10 +618,27 @@ class StreamDriver:
         occupancy = [self._epoch_rows({r: e.get(r, {}) for r in rels}) > 0
                      for e in epochs]
         out = []
-        for tag, rng in self._window_epoch_ranges(occupancy):
+        ranges = self._window_epoch_ranges(occupancy)
+        widx = attempt = 0
+        while widx < len(ranges):
+            tag, rng = ranges[widx]
             ets = [staged[t] for t in rng if t < len(staged)]
-            b = self.executor.execute_epochs(ets, statics)
+            from flock_tpu.runtime.executor import OverflowError
+            try:
+                b = self.executor.execute_epochs(ets, statics)
+            except OverflowError:
+                # static buffers too small (wide key span, or join fan-out
+                # extras from duplicate build keys): double the per-epoch
+                # capacities, re-stage, retry the window
+                attempt += 1
+                if attempt > 5:
+                    raise
+                caps = {r: c * 2 for r, c in caps.items()}
+                staged = [self.executor.prepare_window(
+                    {rel: e[rel] for rel in rels}, caps) for e in epochs]
+                continue
             out.append(WindowResult(tag, self.executor.materialize(b)))
+            widx += 1
         return out
 
     def _execute_retry(self, tag, tables, caps) -> WindowResult:
@@ -637,6 +657,7 @@ class StreamDriver:
                 base = self.executor.agg_capacity or (
                     max(caps.values()) + CONFIG.agg_span_margin)
                 self.executor.agg_capacity = base * 4
+                caps = {r: c * 2 for r, c in caps.items()}
         return WindowResult(tag, self.executor.materialize(b))
 
     # -- session windows (q11) ------------------------------------------------

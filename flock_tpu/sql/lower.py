@@ -47,6 +47,11 @@ class LoweredRel:
     timestamp_cols: set[str] = field(default_factory=set)
     f64: dict[str, tuple] = field(default_factory=dict)
     base_relations: set[str] = field(default_factory=set)
+    # columns that arrived as TAKEN build columns of a join (plus the build
+    # key alias): functional dependencies through these hold only while the
+    # build keys are actually unique, so GROUP BY keeps the honest multi-key
+    # form and lets the engine's runtime duplicate detection govern
+    join_carried: set[str] = field(default_factory=set)
 
 
 def _cols_in(e) -> set[str]:
@@ -274,6 +279,7 @@ class Lowerer:
         # category after the join)
         det = (build.functional_deps.get(bk, set())
                | {d for _, d in take} | {pk, bk})
+        rel.join_carried = {d for _, d in take} | {bk}
         rel.functional_deps = dict(probe.functional_deps)
         for key_col in (pk, bk):
             rel.functional_deps[key_col] = (
@@ -298,8 +304,17 @@ class Lowerer:
                 det = rel.functional_deps.get(k, set())
                 others = [o for o in keys if o != k]
                 if all(o in det for o in others):
-                    carried = others
-                    keys = [k]
+                    if all(o in rel.join_carried for o in others):
+                        # dependent keys are taken build columns of a join
+                        # (q4's category): keep the honest multi-key form,
+                        # primary key first — the fused lowering runs the
+                        # dense single-key path while build keys are unique
+                        # and escapes to the duplicate-faithful multi-key
+                        # aggregation otherwise (plan.FusedJoinAggregate)
+                        keys = [k] + others
+                    else:
+                        carried = others
+                        keys = [k]
                     break
 
         aggs = []

@@ -39,16 +39,20 @@ def q2(bid):
 
 
 def q3(person, auction):
-    # US_STATES order az,ca,id,or,wa,wy → codes 1,2,3 are ca/id/or
+    # US_STATES order az,ca,id,or,wa,wy → codes 1,2,3 are ca/id/or.
+    # Duplicate-faithful: were a p_id ever duplicated (see _auction_rows for
+    # the id-wraparound mechanism), the SQL joins EVERY duplicate person row,
+    # and so does this oracle.
     pm = np.isin(person["state"], [1, 2, 3])
     am = auction["category"] == 10
     p = {k: v[pm] for k, v in person.items()}
     a = {k: v[am] for k, v in auction.items()}
-    idx = {int(pid): i for i, pid in enumerate(p["p_id"])}
+    idx: dict[int, list] = {}
+    for i, pid in enumerate(p["p_id"]):
+        idx.setdefault(int(pid), []).append(i)
     out = {"name": [], "city": [], "state": [], "a_id": []}
     for i in range(len(a["a_id"])):
-        j = idx.get(int(a["seller"][i]))
-        if j is not None:
+        for j in idx.get(int(a["seller"][i]), ()):
             out["name"].append(p["name"][j])
             out["city"].append(p["city"][j])
             out["state"].append(p["state"][j])

@@ -96,6 +96,29 @@ def test_distributed_matches_local(qnum, epoch_parts):
     assert rows(got_dist, names) == rows(got_local, names), f"q{qnum}"
 
 
+@pytest.mark.parametrize("qnum", [3, 4, 6, 9])
+def test_distributed_duplicate_build_keys(qnum):
+    """Duplicate auction ids (misaligned G=3) through the DISTRIBUTED path:
+    the broadcast-gathered build side carries the duplicates to every shard,
+    each shard's fused pass escapes to the fan-out join + multi-key partial,
+    and the shuffled finals stay row-exact vs the LocalExecutor (which runs
+    the same duplicate machinery single-device — itself oracle-validated in
+    test_sqlite_oracle.test_engine_duplicate_auction_rows)."""
+    parts = generate_epoch_parts(10, 350, 3)
+    spec = get_query(qnum)
+    rels = tuple(r for r in spec.relations if r != "side_input")
+    rng = range(10)
+    merged = [p for t in rng for p in parts[t]]
+    tables = dict(concat_relations(merged, rels))
+    local = LocalExecutor(spec)
+    got_local = local.materialize(local.execute_window(tables))
+    shard_tables = shard_window(parts, rng, rels)
+    dist = DistributedExecutor(spec, N_SHARDS)
+    got_dist = materialize_columns(spec, dist.execute_window(shard_tables))
+    names = spec.schema.names
+    assert rows(got_dist, names) == rows(got_local, names), f"q{qnum}"
+
+
 def test_distributed_sql_sort(epoch_parts):
     """SQL-lowered plans containing Sort (ORDER BY) execute distributed:
     the Sort lowers to a coalesce-to-one-partition gather (DataFusion

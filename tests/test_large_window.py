@@ -54,6 +54,29 @@ def test_large_window_winning_bids(qnum, fn, names, epochs, window):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("qnum,fn,names", [
+    (4, oracle.q4, ["category", "avg_final"]),
+    (9, oracle.q9, ["auction", "bidder", "price", "b_date_time"]),
+])
+def test_large_window_misaligned_generators(qnum, fn, names):
+    """The misaligned-G seed at scale: G=6 with 100000/6 not a multiple of
+    50 wraps auction ids hard — at 60k events/s the window holds ~2.1k
+    duplicated auction ids with multiplicity up to 8 and join fan-out extras
+    ≈1.6× the bid count, driving the capacity-retry path (the static free
+    slots don't fit the extras on the first attempt)."""
+    misaligned = generate_epochs(SECONDS, 60_000, 6)
+    w = concat_relations(misaligned, ("person", "auction", "bid"))
+    spec = get_query(qnum)
+    driver = StreamDriver(spec, SECONDS)
+    driver._window_epoch_ranges = lambda occupancy=None: [
+        (("win", 0, SECONDS), list(range(SECONDS)))]
+    results = driver.run(misaligned)
+    got = rows(results[0].columns, names)
+    want = rows(fn(w["auction"], w["bid"]), names)
+    assert got == want, f"q{qnum}: {len(got)} vs {len(want)} rows"
+
+
+@pytest.mark.slow
 def test_large_window_sessions(epochs):
     spec = get_query(11)
     driver = StreamDriver(spec, SECONDS)

@@ -277,32 +277,45 @@ def test_ysb_sqlite(cfg):
     conn.close()
 
 
-@pytest.mark.xfail(strict=True, reason=(
-    "ENGINE gap (PARITY.md): duplicate auction rows (generator counts "
-    "where 100000/G is not a multiple of 50, e.g. G=3) need bounded "
-    "fan-out joins; the dense slotting collapses duplicates by column-wise "
-    "max. The oracle (validated against sqlite above) is duplicate-"
-    "faithful; this records the engine divergence until the fan-out join "
-    "lands."))
-def test_engine_duplicate_auction_rows_q4():
+@pytest.mark.parametrize("qnum", [3, 4, 6, 9])
+def test_engine_duplicate_auction_rows(qnum):
+    """ENGINE vs the duplicate-faithful oracle at the misaligned generator
+    count G=3 (100000/3 is not a multiple of 50, so auction ids wrap and an
+    epoch carries duplicate auction rows — multiplicity 3 here; the sqlite
+    tier above validates the oracle itself on this exact config).  Exercises
+    the fan-out join (kernels.lookup_join dup branch), the fused pass's
+    runtime duplicate escape, q4's two-key (a_id, category) grouping and
+    q6's wmin winner-carry.  Formerly a strict xfail documenting the
+    engine's dense-slot duplicate collapse; closed in round 5."""
     from flock_tpu.queries.nexmark import get_query
     from flock_tpu.runtime.stream import StreamDriver
 
     seconds, eps, gens = 10, 350, 3
     epochs = generate_epochs(seconds, eps, gens)
     window = concat_relations(epochs, ("person", "auction", "bid"))
-    spec = get_query(4)
+    spec = get_query(qnum)
     driver = StreamDriver(spec, seconds)
     driver._window_epoch_ranges = lambda occupancy=None: [
         (("win", 0, seconds), list(range(seconds)))]
     results = driver.run(epochs)
-    got = sorted(
-        (int(results[0].columns["category"][i]),
-         round(float(results[0].columns["avg_final"][i]), 6))
-        for i in range(len(results[0].columns["category"])))
-    want_cols = oracle.q4(window["auction"], window["bid"])
-    want = sorted(
-        (int(want_cols["category"][i]),
-         round(float(want_cols["avg_final"][i]), 6))
-        for i in range(len(want_cols["category"])))
-    assert got == want
+    c = results[0].columns
+
+    def fmt(cols, names):
+        return sorted(
+            tuple(round(float(cols[n][i]), 6) if "avg" in n else int(cols[n][i])
+                  for n in names)
+            for i in range(len(cols[names[0]])))
+
+    if qnum == 3:
+        names = ["a_id", "name", "city", "state"]
+        want_cols = oracle.q3(window["person"], window["auction"])
+    elif qnum == 4:
+        names = ["category", "avg_final"]
+        want_cols = oracle.q4(window["auction"], window["bid"])
+    elif qnum == 6:
+        names = ["seller", "avg_price"]
+        want_cols = oracle.q6(window["auction"], window["bid"])
+    else:
+        names = ["auction", "bidder", "price", "b_date_time"]
+        want_cols = oracle.q9(window["auction"], window["bid"])
+    assert fmt(c, names) == fmt(want_cols, names)
