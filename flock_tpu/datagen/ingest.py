@@ -359,19 +359,34 @@ def send_fragments(address: tuple[str, int], lines,
 
     lines = list(lines)
     sent = 0
-    SOCKET_BUFFER_BYTES = 1 << 20  # ≥ default wmem_max; over-rewinding is safe
+    SOCKET_BUFFER_BYTES = 1 << 20  # requested SO_SNDBUF; over-rewinding is safe
 
     def attempt() -> None:
         nonlocal sent
+        # TCP keeps data in the send buffer until ACKed, so the bytes that can
+        # be queued-but-undelivered at a disconnect are bounded by the send
+        # buffer size — but ONLY if it is pinned: Linux tcp_wmem autotuning
+        # grows unpinned buffers to 4-6 MB, past any static rewind bound.
+        # Pin SO_SNDBUF before connect (disables autotune for this socket)
+        # and size the rewind from what the kernel actually granted
+        # (getsockopt reports the doubled, bookkeeping-inclusive value).
+        snd_bound = 2 * SOCKET_BUFFER_BYTES
         try:
-            with socket.create_connection(address, timeout=30) as s:
+            with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+                s.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF,
+                             SOCKET_BUFFER_BYTES)
+                snd_bound = max(snd_bound,
+                                s.getsockopt(socket.SOL_SOCKET,
+                                             socket.SO_SNDBUF))
+                s.settimeout(30)
+                s.connect(address)
                 while sent < len(lines):
                     s.sendall(lines[sent].encode() + b"\n")
                     sent += 1
         except OSError:
             # rewind past everything that may have been queued-but-undelivered
             rewound = 0
-            while sent > 0 and rewound < SOCKET_BUFFER_BYTES:
+            while sent > 0 and rewound < snd_bound:
                 sent -= 1
                 rewound += len(lines[sent]) + 1
             raise

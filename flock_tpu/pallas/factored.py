@@ -332,7 +332,13 @@ def _stacked_agg_matmul(oh_hi_t, oh_lo, cols, aggs, widths, weight_bf):
             v = cols[in_col]
             row_of[in_col] = len(rows)
             for j in range(4):
-                limb = ((v >> (8 * j)) & 0xFF).astype(jnp.bfloat16)
+                # top limb stays SIGNED (arithmetic v>>24, range [-128,127] —
+                # exact in bf16) so sums over negative int32 values
+                # reconstruct exactly: v = (v>>24)·2²⁴ + unsigned low limbs.
+                # A masked top limb would be wrong by +2³² per negative row
+                # (matches _gather_rows' signed-top-limb convention).
+                sh = v >> (8 * j)
+                limb = (sh if j == 3 else (sh & 0xFF)).astype(jnp.bfloat16)
                 wrow = limb if weight_bf is None else limb * weight_bf
                 rows.append(oh_hi_t * wrow[None, :])
         elif fn in ("min", "max"):

@@ -99,17 +99,23 @@ def _run_plan_session_tables(plan, agg_capacity: int, rel: str, key: str,
         {rel: Batch(columns=cols, valid=valid)})
 
 
-def _consts_fast_shape(plan, rel: str, const_names) -> bool:
+def _consts_fast_shape(plan, rel: str, const_names, key_dtype=None) -> bool:
     """True when the plan is a single-key Aggregate over the driving scan
     whose non-count aggregations all target per-chunk CONSTANT columns —
     q12's shape.  Then min/max/sum over the constant derive from per-chunk
     COUNTS (one cheap count aggregation per chunk) instead of full
-    reductions over every row."""
+    reductions over every row.
+
+    ``key_dtype`` guards the specialization's unconditional int32 key cast
+    (_run_plan_consts_fast): a wider group key would silently wrap and
+    mis-group, so anything but int32 falls back to the general runner."""
     from flock_tpu.plan import Aggregate, Scan
 
     if not (isinstance(plan, Aggregate) and isinstance(plan.child, Scan)
             and plan.child.relation == rel and len(plan.group_keys) == 1
             and plan.mode == "single"):
+        return False
+    if key_dtype is not None and key_dtype != jnp.int32:
         return False
     return all(fn == "count" or (c in const_names
                                  and fn in ("min", "max", "sum"))
@@ -304,9 +310,14 @@ class LocalExecutor:
         METRICS.count(f"q{self.spec.number}.windows")
         METRICS.count(f"q{self.spec.number}.rows_in",
                       sum(ch.valid.shape[0] for ch in chunks))
+        key_dt = (chunks[0].columns[self.spec.plan.group_keys[0]].dtype
+                  if getattr(self.spec.plan, "group_keys", None)
+                  and self.spec.plan.group_keys[0] in chunks[0].columns
+                  else None)
         runner = (_run_plan_consts_fast
                   if _consts_fast_shape(self.spec.plan,
-                                        self._driving_relation(), names)
+                                        self._driving_relation(), names,
+                                        key_dtype=key_dt)
                   else _run_plan_consts)
         with METRICS.timer(f"q{self.spec.number}.execute_s"):
             out, overflow = runner(

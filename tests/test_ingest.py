@@ -158,12 +158,15 @@ def test_send_fragments_reconnects_midstream(epochs, monkeypatch):
 
     lines = fragment_lines(epochs[:2], "retry-q", granule=256)
     srv = SocketIngestServer()
-    real_connect = socket_mod.create_connection
+    real_socket = socket_mod.socket
     state = {"calls": 0}
 
+    # the producer creates its socket directly (it must pin SO_SNDBUF before
+    # connect to bound the resend rewind), so fault injection wraps
+    # socket.socket itself; connects are counted per producer socket
     class _FlakySock:
-        def __init__(self, inner):
-            self._inner = inner
+        def __init__(self, *a, **kw):
+            self._inner = real_socket(*a, **kw)
             self._sent = 0
 
         def __enter__(self):
@@ -172,17 +175,20 @@ def test_send_fragments_reconnects_midstream(epochs, monkeypatch):
         def __exit__(self, *a):
             self._inner.close()
 
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def connect(self, address):
+            state["calls"] += 1
+            return self._inner.connect(address)
+
         def sendall(self, data):
             self._sent += 1
             if state["calls"] == 1 and self._sent > len(lines) // 2:
                 raise ConnectionResetError("injected mid-stream fault")
             self._inner.sendall(data)
 
-    def flaky_connect(address, timeout=None):
-        state["calls"] += 1
-        return _FlakySock(real_connect(address))
-
-    monkeypatch.setattr("socket.create_connection", flaky_connect)
+    monkeypatch.setattr("socket.socket", _FlakySock)
     try:
         send_fragments(srv.address, lines)
         # the reconnect rewinds past possibly-undelivered lines, so the

@@ -328,7 +328,10 @@ def test_factored_agg_all_fns():
     frontier = (np.arange(n, dtype=np.int64) * (span - 2048) // n).astype(np.int32)
     keys = (frontier + rng.integers(-120, 10, n)).clip(0).astype(np.int32) + 5
     vals = rng.integers(-(10**8), 10**8, n).astype(np.int32)
-    vals2 = rng.integers(0, 10**6, n).astype(np.int32)
+    # sum column includes NEGATIVE values: the stacked limb decomposition
+    # keeps the top limb signed (factored._stacked_agg_matmul); a masked top
+    # limb would reconstruct sums mod 2^32 (+2^32 per negative row)
+    vals2 = rng.integers(-(10**6), 10**6, n).astype(np.int32)
     valid = rng.random(n) < 0.9
     aggs = [(None, "count", "c"), ("v2", "sum", "s"), ("v", "max", "mx"),
             ("v", "min", "mn")]
