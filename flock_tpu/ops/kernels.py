@@ -201,14 +201,14 @@ def dense_group_aggregate(
         overflow = jnp.any(valid & ~in_range).astype(bool).reshape(())
         seg = jnp.where(in_range, pos, out_capacity)
         out = _scatter_aggs(seg, valid, cols,
-                            list(aggs) or [(None, "count", "__c")],
+                            list(aggs) or [(None, "count", "__dense_occ")],
                             out_capacity)
-        counts = out.get("__c")
+        counts = out.get("__dense_occ")
         if counts is None:
             ones = jnp.ones_like(valid, dtype=jnp.int32)
             counts = jnp.zeros((out_capacity,), jnp.int32).at[seg].add(
                 ones, mode="drop")
-        out.pop("__c", None)
+        out.pop("__dense_occ", None)
         out[key] = m.astype(k.dtype) + jnp.arange(out_capacity, dtype=k.dtype)
         return out, counts > 0, overflow
 
@@ -430,7 +430,7 @@ def sorted_lookup_join(
     """General-key N-to-1 join: sort build, binary-search probes."""
     bk, bcols, bvalid = build_lookup(build_cols, build_valid, build_key)
     pk = probe_cols[probe_key]
-    idx = jnp.searchsorted(bk, pk)
+    idx = jnp.searchsorted(bk, pk, method="sort")
     idx = jnp.minimum(idx, bk.shape[0] - 1)
     hit = (bk[idx] == pk) & bvalid[idx] & probe_valid
     out = dict(probe_cols)
@@ -619,8 +619,11 @@ def lookup_join(
         srt = lax.sort(ops, num_keys=1, is_stable=True)
         sk, svb = srt[0], srt[-1]
         sb = dict(zip(take_list, srt[1:-1]))
-        lo = jnp.searchsorted(sk, pk).astype(jnp.int32)
-        hi = jnp.searchsorted(sk, pk, side="right").astype(jnp.int32)
+        # method='sort' (vectorized co-sort): the default 'scan' method
+        # lowers to a sequential loop on TPU
+        lo = jnp.searchsorted(sk, pk, method="sort").astype(jnp.int32)
+        hi = jnp.searchsorted(sk, pk, side="right",
+                              method="sort").astype(jnp.int32)
         loc = jnp.minimum(lo, nb - 1)
         hit0 = probe_valid & (sk[loc] == pk) & svb[loc]
         hit0E = _padE(hit0)
@@ -632,7 +635,8 @@ def lookup_join(
         is_extra = (~hit0E) & (freerank < n_extras)
         f = jnp.where(is_extra, freerank, 0)
         # extra f belongs to the probe row whose extras range covers f
-        src = jnp.minimum(jnp.searchsorted(r_inc, f, side="right"),
+        src = jnp.minimum(jnp.searchsorted(r_inc, f, side="right",
+                                           method="sort"),
                           n - 1).astype(jnp.int32)
         d = f - excl[src] + 1                     # duplicate ordinal ≥ 1
         bsrc = jnp.clip(lo[src] + d, 0, nb - 1)

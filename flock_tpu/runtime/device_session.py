@@ -1,0 +1,433 @@
+"""Device-resident sessionization: the open-set merge as dense span state.
+
+Reference counterpart: flock-function/src/aws/window/session.rs:64-178 (a
+fragment more than ``gap`` seconds after its window's last row closes the
+window; idle windows time out as epochs advance).  The generic driver
+(runtime/stream.py SessionState) retains rows on the host and re-aggregates
+each closed session via device label tables; this module recognizes
+INCREMENTALLY AGGREGABLE session plans — a single Aggregate over the driving
+scan grouped by ``__session`` whose aggregates are all count/sum/min/max —
+and keeps the ENTIRE open-session state as dense per-key accumulators in HBM:
+
+* ``open``/``last_s`` — the open-set membership and last-row-second vectors
+  the host previously merged with numpy (+ native C per-key stats);
+* one [span] accumulator per aggregate (count add, sum add, min/max merge).
+
+One jitted step per epoch:
+  1. grouped count/min/max(/sum) over the epoch's staged rows — the engine's
+     fastest aggregation shape (ops/dense_group_aggregate, blocked one-hot);
+  2. a CONTIGUOUS window merge into the state accumulators (dynamic slices —
+     no scatter: epoch aggregates are dense over the epoch's key span);
+  3. gap-close and timeout as O(span) vector masks (sessions closed by a gap
+     emit their pre-merge accumulators; the epoch's rows then seed the
+     reopened session — exactly SessionState's chunk-range semantics);
+  4. closed sessions compact into a small output buffer by cumsum rank + one
+     binary search (no sort).
+
+Rows are consumed ONCE, the epoch they arrive; no chunks are retained, no
+label tables ship, and the per-session aggregates ARE the emission — the
+answer is the only thing that ever crosses the host boundary.  The host's
+per-epoch work is one dispatch plus a lagged overflow check (the flag of
+epoch t is fetched after t+1 is dispatched, so the check rides the device
+pipeline; on overflow the state rolls back one epoch and the step reruns
+with doubled buckets — the engine's standard guard-and-retry posture).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flock_tpu.ops import kernels
+from flock_tpu.ops.kernels import I32_MAX
+
+I32_MIN = np.int32(-(2**31))
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape gate
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FastSessionSpec:
+    """A session plan the incremental device path can execute.
+
+    ``aggs`` — the Aggregate's (in_col, fn, out) list; ``renames`` — the
+    optional top Project's (out_name, agg_out) passthroughs; ``s_loc`` — the
+    plan's locality hint for the per-epoch aggregation."""
+
+    aggs: tuple
+    renames: tuple | None
+    s_loc: int | None
+
+
+def session_fast_spec(spec, key: str, relation: str) -> FastSessionSpec | None:
+    """Gate: Project?(Aggregate(Scan(relation), by __session)) with every
+    aggregate incrementally mergeable (count/sum/min/max over scan columns or
+    the session key).  Anything else → None (generic label-table path)."""
+    from flock_tpu.plan import Aggregate, Project, Scan
+
+    node = spec.plan
+    renames = None
+    if isinstance(node, Project):
+        if not all(isinstance(e, str) for _, e in node.exprs):
+            return None
+        renames = node.exprs
+        node = node.child
+    if not (isinstance(node, Aggregate) and node.group_keys == ("__session",)
+            and node.mode == "single" and isinstance(node.child, Scan)
+            and node.child.relation == relation):
+        return None
+    for c, fn, _out in node.aggs:
+        if fn == "count":
+            continue
+        if fn not in ("min", "max", "sum") or c in (None, "__session"):
+            return None
+    return FastSessionSpec(aggs=tuple(node.aggs), renames=renames,
+                           s_loc=node.s_loc)
+
+
+# ---------------------------------------------------------------------------
+# Accumulator algebra
+# ---------------------------------------------------------------------------
+
+
+def _acc_plan(fs: FastSessionSpec, key: str, tcol: str):
+    """(epoch_aggs, accs) — the per-epoch aggregation list and the state
+    accumulators.  ``accs``: name → (epoch_out, fn, dtype, identity).
+    Bookkeeping (occupancy count + min/max of the time column → first/last
+    second) is always aggregated and shared with same-shaped plan aggs."""
+    epoch_aggs = [(None, "count", "__cnt0"), (tcol, "min", "__emn"),
+                  (tcol, "max", "__emx")]
+    shared = {(None, "count"): "__cnt0", (tcol, "min"): "__emn",
+              (tcol, "max"): "__emx"}
+    accs: dict[str, tuple] = {}
+    for c, fn, out in fs.aggs:
+        if c == key and fn in ("min", "max"):
+            continue  # an aggregate of the session key IS the slot key
+        eff_c = None if fn == "count" else c
+        eo = shared.get((eff_c, fn))
+        if eo is None:
+            eo = f"__e{len(epoch_aggs)}"
+            epoch_aggs.append((eff_c, fn, eo))
+            shared[(eff_c, fn)] = eo
+        if fn == "count":
+            accs[out] = (eo, "count", jnp.int32, np.int32(0))
+        elif fn == "sum":
+            accs[out] = (eo, "sum", jnp.int64, np.int64(0))
+        elif fn == "min":
+            accs[out] = (eo, "min", jnp.int32, I32_MAX)
+        else:
+            accs[out] = (eo, "max", jnp.int32, I32_MIN)
+    return tuple(epoch_aggs), tuple(sorted(accs.items()))
+
+
+def _combine(fn: str, a, b):
+    if fn in ("count", "sum"):
+        return a + b
+    return jnp.minimum(a, b) if fn == "min" else jnp.maximum(a, b)
+
+
+def init_state(S: int, accs) -> dict:
+    st = {"open": jnp.zeros((S,), bool),
+          "last_s": jnp.full((S,), I32_MIN, jnp.int32)}
+    for name, (_eo, _fn, dt, ident) in accs:
+        st[name] = jnp.full((S,), ident, dt)
+    return st
+
+
+def grow(state: dict, S2: int, accs) -> dict:
+    """Pad state arrays to a wider span (base key unchanged); new slots get
+    each accumulator's identity."""
+    idents = {"open": False, "last_s": I32_MIN}
+    idents.update({name: ident for name, (_e, _f, _d, ident) in accs})
+    return _grow(state, S2, tuple(sorted(idents.items())))
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _grow(state: dict, S2: int, idents: tuple) -> dict:
+    idmap = dict(idents)
+    return {name: jnp.concatenate(
+        [a, jnp.full((S2 - a.shape[0],), idmap[name], a.dtype)])
+        for name, a in state.items()}
+
+
+# ---------------------------------------------------------------------------
+# The per-epoch step
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def session_step(key: str, tcol: str, epoch_aggs: tuple, accs: tuple,
+                 SE: int, cap_out: int, s_loc: int | None, may_close: bool,
+                 gap_s, cutoff_s, m, state: dict, cols: dict, valid):
+    """One epoch: aggregate → window-merge → gap/timeout close → compact.
+
+    Returns (state', out_cols, out_valid, n_emit, overflow).  ``m`` is the
+    state's base key (slot i ↔ key m+i); ``cutoff_s`` the timeout threshold
+    in relative seconds (now − gap, session.rs:136-178).  ``may_close=False``
+    (host-proven: within ``gap`` seconds of the first data, no session can
+    close by gap OR timeout) compiles the merge-only form — no closure masks,
+    no compaction, no emission buffers."""
+    S = state["open"].shape[0]
+    has = jnp.any(valid)
+
+    # 1. per-epoch grouped aggregation (anchored at the epoch's min key)
+    e_out, e_occ, e_ovf = kernels.dense_group_aggregate(
+        {key: cols[key], **{c: cols[c] for c, _f, _o in epoch_aggs
+                            if c is not None}},
+        valid, key, list(epoch_aggs), SE, s_loc=s_loc)
+    m_e = jnp.min(jnp.where(valid, cols[key], I32_MAX))
+    first_s = e_out["__emn"] // 1000
+    last_s = e_out["__emx"] // 1000
+
+    # 2. contiguous window merge at [SE] (keys outside the epoch span are
+    #    untouched except by the timeout scan below)
+    off = jnp.clip(m_e - m, 0, S - SE).astype(jnp.int32)
+    span_ovf = has & ((m_e < m) | (m_e - m + SE > S))
+    w_open = jax.lax.dynamic_slice(state["open"], (off,), (SE,))
+    w_last = jax.lax.dynamic_slice(state["last_s"], (off,), (SE,))
+    if may_close:
+        gap_close = e_occ & w_open & (first_s - w_last > gap_s)
+        new_start = e_occ & (gap_close | ~w_open)
+    else:
+        gap_close = None
+        new_start = e_occ & ~w_open
+
+    state2 = dict(state)
+    emit_w = {}
+    for name, (eo, fn, dt, ident) in accs:
+        w_acc = jax.lax.dynamic_slice(state[name], (off,), (SE,))
+        emit_w[name] = w_acc                      # pre-merge (old session)
+        e_val = e_out[eo].astype(dt)
+        merged = jnp.where(
+            e_occ, jnp.where(new_start, e_val, _combine(fn, w_acc, e_val)),
+            w_acc)
+        state2[name] = jax.lax.dynamic_update_slice(state[name], merged,
+                                                    (off,))
+    state2["open"] = jax.lax.dynamic_update_slice(
+        state["open"], w_open | e_occ, (off,))
+    state2["last_s"] = jax.lax.dynamic_update_slice(
+        state["last_s"], jnp.where(e_occ, last_s.astype(jnp.int32), w_last),
+        (off,))
+
+    if not may_close:
+        return (state2, {}, jnp.zeros((0,), bool), jnp.int32(0),
+                e_ovf | span_ovf)
+
+    # 3. closures: gap-closed (pre-merge values, window coords) ∪ timed-out
+    #    (post-merge values, full span) — disjoint: a gap-closed key was just
+    #    reopened with a fresh last_s and cannot time out this epoch
+    gmask = jax.lax.dynamic_update_slice(
+        jnp.zeros((S,), bool), gap_close & has, (off,))
+    to = state2["open"] & (state2["last_s"] < cutoff_s)
+    emask = gmask | to
+    state3 = dict(state2)
+    state3["open"] = state2["open"] & ~to
+    evals = {}
+    for name, (eo, fn, dt, ident) in accs:
+        placed = jax.lax.dynamic_update_slice(
+            jnp.full((S,), ident, dt), emit_w[name], (off,))
+        evals[name] = jnp.where(to, state2[name], placed)
+        state3[name] = jnp.where(to, jnp.full((S,), ident, dt), state2[name])
+
+    # 4. compact closed sessions: cumsum rank + binary search (no sort)
+    out_cols, out_valid, n_emit = _extract(emask, evals, m, cap_out)
+    ovf = e_ovf | span_ovf | (n_emit > cap_out)
+    return state3, out_cols, out_valid, n_emit, ovf
+
+
+def _extract(emask, evals: dict, m, cap_out: int):
+    S = emask.shape[0]
+    r_inc = jnp.cumsum(emask.astype(jnp.int32))
+    n_emit = r_inc[-1]
+    # method='sort': the default 'scan' lowers to a SEQUENTIAL loop on TPU
+    # (measured 134 ms at span 512k; 'sort' is a vectorized co-sort, ~ms)
+    tgt = jnp.minimum(
+        jnp.searchsorted(r_inc, jnp.arange(cap_out, dtype=jnp.int32) + 1,
+                         method="sort"),
+        S - 1).astype(jnp.int32)
+    out_valid = jnp.arange(cap_out) < n_emit
+    out = {"__key": m + tgt}
+    for name, v in evals.items():
+        out[name] = v[tgt]
+    return out, out_valid, n_emit
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def session_flush(accs: tuple, cap_out: int, m, state: dict):
+    """Close every remaining open session (bounded-run semantics)."""
+    evals = {name: state[name] for name, _ in accs}
+    return _extract(state["open"], evals, m, cap_out)
+
+
+# ---------------------------------------------------------------------------
+# Driver loop
+# ---------------------------------------------------------------------------
+
+
+def _bucket(n: int) -> int:
+    c = 1024
+    while c < n:
+        c *= 2
+    return c
+
+
+def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec):
+    """The StreamDriver session loop on the incremental device path.
+
+    Pipelined optimistic dispatch: epoch t+1 is dispatched against epoch t's
+    (unconfirmed) state; t's overflow flag is then fetched while t+1 runs on
+    device.  A flagged overflow rolls back to t's input state, doubles the
+    offending bucket, and reruns from t."""
+    from flock_tpu.runtime.stream import SessionState, WindowResult
+
+    key, tcol = SessionState.key, SessionState.time_col
+    gap = driver.spec.window[1]
+    epoch_aggs, accs = _acc_plan(fs, key, tcol)
+
+    # host-side per-epoch metadata (key range — two SIMD passes per epoch)
+    metas = []
+    for t, tables in enumerate(epochs):
+        bid = driver._needed_cols(tables["bid"], extra=(key, tcol))
+        k = bid[key]
+        metas.append((len(k), int(k.min()) if len(k) else 0,
+                      int(k.max()) if len(k) else -1, bid))
+
+    n_ep = len(epochs)
+    first = next((t for t in range(n_ep) if metas[t][0]), None)
+    if first is None:
+        return []
+    m = metas[first][1]
+    span0 = metas[first][2] - m + 1
+    # anticipate linear key growth across the stream so the span rarely grows
+    S = _bucket(span0 * max(n_ep, 1) + 8192)
+    SE = _bucket(max(max(mx - mn + 1 for n, mn, mx, _ in metas if n), 1))
+    cap_out = 8192
+    state = init_state(S, accs)
+
+    results: list[WindowResult] = []
+    pending = []   # (t, prev_state, out_cols, out_valid, n_emit, ovf)
+    t = 0
+    retries = 0
+
+    def staged_batch(t):
+        if prestaged is not None and prestaged[t] is not None:
+            return prestaged[t]
+        return driver.executor.stage_chunk(metas[t][3])
+
+    def confirm(entry):
+        nonlocal state, t, retries, S, SE, cap_out, pending
+        et, prev, out_cols, out_valid, n_emit, ovf = entry
+        ovf_v, n_v = jax.device_get((ovf, n_emit))
+        if bool(ovf_v):
+            retries += 1
+            if retries > 6:
+                raise RuntimeError("device session path: retry budget")
+            # grow every bucket (cheap relative to a wrong answer); the span
+            # grows by padding the live state
+            SE = SE * 2
+            cap_out = cap_out * 2
+            S2 = S * 2
+            state = grow(prev, S2, accs)
+            S = S2
+            pending = []
+            t = et
+            return False
+        n = int(n_v)
+        if n:
+            results.append((et, out_cols, out_valid, n))
+        return True
+
+    kmax_seen = max(mx for _n, _mn, mx, _ in metas)
+    while True:
+        while t < n_ep:
+            if t < first:
+                t += 1
+                continue
+            nrows = metas[t][0]
+            batch = staged_batch(t) if nrows else None
+            cutoff = np.int32(t + 1 - gap)
+            need = {key, tcol} | {c for c, _f, _o in epoch_aggs
+                                  if c is not None}
+            # closures are impossible within ``gap`` seconds of the first
+            # data (any open session's last_s >= first) — merge-only step
+            may_close = (t - first) > gap - 1
+            if nrows:
+                st2, out_cols, out_valid, n_emit, ovf = session_step(
+                    key, tcol, epoch_aggs, accs, SE, cap_out, fs.s_loc,
+                    may_close, np.int32(gap), cutoff, np.int32(m),
+                    state, {c: batch.columns[c] for c in need}, batch.valid)
+            else:
+                # timeout-only epoch: an empty batch still advances time
+                empty = {key: jnp.zeros((128,), jnp.int32),
+                         tcol: jnp.zeros((128,), jnp.int32)}
+                for c, _f, _o in epoch_aggs:
+                    if c is not None:
+                        empty.setdefault(c, jnp.zeros((128,), jnp.int32))
+                st2, out_cols, out_valid, n_emit, ovf = session_step(
+                    key, tcol, epoch_aggs, accs, SE, cap_out, fs.s_loc,
+                    may_close, np.int32(gap), cutoff, np.int32(m),
+                    state, empty, jnp.zeros((128,), bool))
+            pending.append((t, state, out_cols, out_valid, n_emit, ovf))
+            state = st2
+            t += 1
+            if len(pending) >= 2 and not confirm(pending.pop(0)):
+                continue
+        # dispatch the flush BEFORE draining the tail confirms: it rides the
+        # device pipeline while the host blocks on the last epochs' flags
+        # (optimistic like everything else — a rollback just re-dispatches)
+        flush_cap = _bucket(max(kmax_seen - m + 1, 1))
+        f_cols, f_valid, f_n = session_flush(
+            accs, flush_cap, np.int32(m), state)
+        ok = True
+        while pending and ok:
+            ok = confirm(pending.pop(0))
+        if ok:
+            break
+    n = int(jax.device_get(f_n))
+    if n:
+        results.append((n_ep, f_cols, f_valid, n))
+
+    return [_materialize(driver, fs, key, et, out_cols, n)
+            for et, out_cols, _ov, n in results]
+
+
+def _materialize(driver, fs: FastSessionSpec, key: str, et: int,
+                 out_cols: dict, n: int):
+    """Exact-slice batched readback: only the live rows cross the tunnel,
+    int32 columns ride ONE stacked transfer."""
+    from flock_tpu.runtime.executor import materialize_columns
+    from flock_tpu.runtime.stream import WindowResult
+
+    ncols = {}
+    nr = min(_round1k(n), out_cols["__key"].shape[0])
+    i32 = [nm for nm, a in out_cols.items() if a.dtype == jnp.int32]
+    if i32:
+        stacked = np.asarray(jnp.stack([out_cols[nm][:nr] for nm in i32]))
+        for i, nm in enumerate(i32):
+            ncols[nm] = stacked[i][:n]
+    for nm, a in out_cols.items():
+        if nm not in i32:
+            ncols[nm] = np.asarray(a[:nr])[:n]
+
+    # name mapping: slot key → key-column aggregates; epoch outs → plan outs
+    host = {}
+    for c, fn, out in fs.aggs:
+        if c == key and fn in ("min", "max"):
+            host[out] = ncols["__key"]
+        else:
+            host[out] = ncols[out]
+    if fs.renames is not None:
+        host = {name: host[src] for name, src in fs.renames}
+    return WindowResult(("sessions", et),
+                        materialize_columns(driver.spec, host))
+
+
+def _round1k(n: int) -> int:
+    return (max(n, 1) + 1023) // 1024 * 1024

@@ -86,6 +86,23 @@ def generate_epochs(seconds: int, events_per_second: int, generators: int = 1
 from flock_tpu.runtime.executor import _pow2_bucket as _bucket_cap
 
 
+def _bucket_cap_fine(n: int) -> int:
+    """1/8-octave capacity bucket (m in 8..15 times a power of two): output
+    buffers track the observed span within ~12% instead of up to 2x, so the
+    answer readback ships ~the answer, at a bounded compile-signature count
+    (8 buckets per octave)."""
+    c = 128
+    while c < n:
+        c *= 2
+    if c <= 1024:
+        return c
+    step = c // 16
+    m = c // 2
+    while m < n:
+        m += step
+    return m
+
+
 @dataclass
 class WindowResult:
     tag: tuple          # window identifier, e.g. ("epoch", 3) / ("win", 0, 10)
@@ -700,12 +717,30 @@ class StreamDriver:
         executed and emitted per epoch (the reference's per-epoch session
         drain, flock-function/src/aws/window/session.rs:136-178).
 
-        TPU-native dataflow: each epoch's (projected) rows are staged in HBM
-        exactly once; the host keeps only vectorized per-key bookkeeping, and
-        an emission ships three O(key-span) label tables — closed sessions
-        are assembled and aggregated entirely on device.  Host state stays
-        bounded by the OPEN sessions (chunks compact past MAX_CHUNKS);
-        remaining sessions flush at stream end."""
+        TPU-native dataflow, two tiers:
+
+        * INCREMENTAL device path (runtime/device_session.py) — when the
+          plan's session aggregation is incrementally mergeable
+          (count/sum/min/max), the whole open-set state lives as dense span
+          accumulators in HBM: rows are consumed once, the epoch they
+          arrive, and the host's per-epoch work is one dispatch.  Gated on
+          gap ≥ 1 s (the per-epoch first/last-second granularity both tiers
+          share).
+        * generic label-table path — each epoch's (projected) rows are
+          staged in HBM exactly once; the host keeps vectorized per-key
+          bookkeeping, and an emission ships three O(key-span) label tables;
+          closed sessions are assembled and aggregated on device.  Host
+          state stays bounded by the OPEN sessions (chunks compact past
+          MAX_CHUNKS); remaining sessions flush at stream end."""
+        from flock_tpu.runtime import device_session
+
+        gap = self.spec.window[1]
+        fs = device_session.session_fast_spec(
+            self.spec, SessionState.key, self.executor._driving_relation()) \
+            if gap >= 1 else None
+        if fs is not None:
+            return device_session.run_device_sessions(
+                self, epochs, prestaged, fs)
         state = SessionState(gap=self.spec.window[1])
         key, tcol = SessionState.key, SessionState.time_col
         out: list[WindowResult] = []
@@ -797,7 +832,7 @@ class StreamDriver:
             p_times = [tt * 1000 for tt, _, __, ___ in pending]
             span = (max(mx for *_, mx in pending)
                     - min(mn for _, __, mn, ___ in pending) + 1)
-            agg_cap = _bucket_cap(span + CONFIG.agg_span_margin)
+            agg_cap = _bucket_cap_fine(span + CONFIG.agg_span_margin)
             pending.clear()
             for attempt in range(6):
                 try:

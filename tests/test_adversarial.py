@@ -30,9 +30,17 @@ def _hot_epochs(seconds: int, rows_per_epoch: int):
 
 
 def test_hot_session_bounded_chunks_and_compiles(monkeypatch):
+    """The GENERIC (label-table) session path: chunk compaction bounds host
+    state for an immortal session.  q11 now defaults to the incremental
+    device path (runtime/device_session.py — no chunks at all), so this test
+    pins the generic tier, which remains the fallback for non-incremental
+    session plans."""
     import flock_tpu.runtime.stream as stream_mod
+    from flock_tpu.runtime import device_session as ds_mod
     from flock_tpu.runtime import executor as ex_mod
 
+    monkeypatch.setattr(ds_mod, "session_fast_spec",
+                        lambda *a, **kw: None)
     seen = {"max_chunks": 0}
     real = stream_mod.SessionState
 
@@ -61,6 +69,29 @@ def test_hot_session_bounded_chunks_and_compiles(monkeypatch):
     # compiled-program growth is bounded (capacity buckets + compaction keep
     # the emission signature set small; no per-epoch fresh XLA programs)
     assert ex_mod._run_plan_session_tables._cache_size() - cache_before <= 4
+
+
+def test_hot_session_device_path_matches_generic(monkeypatch):
+    """The incremental device path and the generic label-table path agree
+    row-exactly on the immortal-session stream (and the device path retains
+    ZERO row chunks — its state is O(key span), not O(rows))."""
+    from flock_tpu.runtime import device_session as ds_mod
+
+    spec = get_query(11)
+    seconds = 15
+    epochs = _hot_epochs(seconds, 300)
+    fast = StreamDriver(spec, seconds).run(epochs)
+    monkeypatch.setattr(ds_mod, "session_fast_spec", lambda *a, **kw: None)
+    slow = StreamDriver(spec, seconds).run(epochs)
+
+    def allrows(results):
+        return sorted(
+            tuple(int(r.columns[c][i]) for c in ("bidder", "bid_count",
+                                                 "start_time", "end_time"))
+            for r in results
+            for i in range(len(next(iter(r.columns.values())))))
+
+    assert allrows(fast) == allrows(slow)
 
 
 def test_hot_session_growing_rate_reuses_capacity_buckets():
