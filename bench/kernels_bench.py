@@ -91,7 +91,7 @@ def _time(fn, *args, iters=16):
         np.asarray(cf(*flat))
         best = min(best, time.perf_counter() - t0)
     if best - rtt >= rtt:
-        return (best - rtt) / iters
+        return (best - rtt) / iters, False
     # RTT-bound: the kernel is faster than the tunnel round-trip at this
     # iteration count.  Re-measure with iters scaled so device time ≥ 4×RTT
     # (round-3 artifacts reported such cases as upper bounds; the rescale
@@ -118,30 +118,33 @@ def _time(fn, *args, iters=16):
         t0 = time.perf_counter()
         np.asarray(cfn(*flat))
         best = min(best, time.perf_counter() - t0)
-    if best - rtt < rtt:          # still RTT-bound: report the upper bound
-        return best / need
-    return (best - rtt) / need
+    if best - rtt < rtt:
+        # still RTT-bound even at the iteration cap: the value is an UPPER
+        # bound on device time, and the record says so explicitly (a silent
+        # upper bound is indistinguishable from an honest measurement in the
+        # committed artifact — round-4 verdict item)
+        return best / need, True
+    return (best - rtt) / need, False
 
 
 def _perturb(args, carry):
-    """Inject a zero-valued data dependency into the first array argument so
-    loop iterations serialize without changing values."""
-    import jax.numpy as jnp
-
-    def tag(x):
-        # XOR with the carry's low bit: a real data dependency XLA cannot
-        # hoist out of the loop (a provably-zero perturbation gets folded and
-        # the whole body becomes loop-invariant)
-        if hasattr(x, "dtype") and x.dtype == jnp.int32:
-            return x ^ (carry & 1)
-        return x
+    """Thread the loop carry into the first argument through an
+    optimization barrier: runtime values are UNCHANGED (the kernel measures
+    its real data distribution — key locality intact), but the barrier's
+    operand depends on the carry, so XLA can neither hoist the body out of
+    the loop nor CSE iterations.  The previous ``x ^ (carry & 1)`` trick was
+    escapable: the compiler can precompute both variants once and select,
+    which measured as physically impossible >1 roofline fractions
+    (project_mul at "8,506 GB/s" on an 819 GB/s chip — round-4 verdict)."""
+    import jax
 
     first, *rest = args
-    if isinstance(first, dict):
-        first = {k: tag(v) for k, v in first.items()}
-    else:
-        first = tag(first)
-    return (first, *rest)
+    leaves, td = jax.tree.flatten(first)
+    barred = []
+    for x in leaves:
+        x2, _ = jax.lax.optimization_barrier((x, carry))
+        barred.append(x2)
+    return (jax.tree.unflatten(td, barred), *rest)
 
 
 def main():
@@ -174,37 +177,86 @@ def main():
 
     results = []
 
-    def report(name, secs, model_bytes, ops=None):
+    def report(name, timed, model_bytes, ops=None, rows=None):
         """model_bytes = MANDATORY HBM traffic (inputs once + outputs once);
         roofline_frac = achieved/HBM-peak on that model.  ``ops`` (when
         given) is the kernel's arithmetic volume — the blocked one-hot
         kernels deliberately spend n·s_loc VPU/MXU ops to avoid scatter, so
         they are COMPUTE-bound and their HBM fraction is the wrong lens;
-        achieved_Tops is the right one (see BENCH_NOTES)."""
+        achieved_Tops is the right one (see BENCH_NOTES).  ``timed`` is
+        (seconds, rtt_bound): an RTT-bound entry is an upper bound on device
+        time and is marked as such in the record."""
+        secs, rtt_bound = timed
         gbps = model_bytes / secs / 1e9
         rec = {
             "kernel": name,
-            "rows": n,
+            "rows": rows or n,
             "time_s": round(secs, 6),
             "model_GB": round(model_bytes / 1e9, 3),
             "achieved_GBps": round(gbps, 1),
             "roofline_frac": round(gbps / args.hbm_gbps, 3),
         }
+        if rtt_bound:
+            rec["rtt_bound"] = True
         if ops is not None:
             rec["op_count"] = ops
             rec["achieved_Tops"] = round(ops / secs / 1e12, 2)
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
-    # filter: read key (4B), write mask (1B)
-    f = jax.jit(lambda k, v: v & (k % 123 == 0))
-    # iters=2048: device time >= 10x tunnel RTT, so the measured
-    # fraction is an honest number, not an RTT-bound lower bound
-    report("filter", _time(f, key, valid, iters=2048), n * 5)
+    # HBM-lens elementwise ops (filter/project).  Measuring these honestly
+    # needs THREE properties the generic _time harness cannot give an
+    # elementwise op (each was a round of fictitious >1.0 fractions):
+    #   1. a working set larger than VMEM, so iterations stream HBM
+    #      (at 4M rows the 16-21 MB set stayed resident → "8,506 GB/s");
+    #   2. a loop carry that IS the full output array — an elementwise op
+    #      whose output is consumed only through a scalar gets sliced to one
+    #      lane by dead-code elimination (a 256 MB "copy" loop measured 0 ms
+    #      per iteration);
+    #   3. a full-array reduction folded into the carry, so no lane is dead
+    #      backward through the loop (the reduction fuses with the write
+    #      pass — no extra HBM traffic).
+    n_big = max(args.rows, 128 * 1024 * 1024)
+    key_big = jnp.asarray(rng.integers(0, 2**30, n_big).astype(np.int32))
+    from jax import lax as _lax
 
-    # project: read 2×4B, write 4B (f32 multiply)
-    p = jax.jit(lambda v: jnp.float32(0.908) * v.astype(jnp.float32))
-    report("project_mul", _time(p, val, iters=2048), n * 8)
+    def _stream_time(step, state0, iters=96):
+        def chained(k, s0):
+            def body(i, carry):
+                s, acc = carry
+                k2, _ = _lax.optimization_barrier((k, acc))
+                s2, a2 = step(k2, s)
+                return s2, acc + a2
+            return _lax.fori_loop(0, iters, body,
+                                  (s0, jnp.zeros((), jnp.float32)))[1]
+        cf = jax.jit(chained)
+        np.asarray(cf(key_big, state0))
+        rtt = _measure_rtt()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(cf(key_big, state0))
+            best = min(best, time.perf_counter() - t0)
+        return max(best - rtt, 1e-9) / iters, best - rtt < rtt
+
+    # filter: read key (4B) + mask state (1B), write mask (1B); the carried
+    # mask is the filter's output column
+    def f_step(k, s):
+        s2 = s & (k % 123 == 0)
+        return s2, jnp.sum(s2, dtype=jnp.float32)
+
+    report("filter", _stream_time(f_step, jnp.ones((n_big,), bool)),
+           n_big * 6, rows=n_big)
+
+    # project: read f32 (4B), write f32 (4B) — the money-column multiply
+    def p_step(_k, s):
+        s2 = jnp.float32(0.998) * s
+        return s2, jnp.sum(s2)  # full-array reduction: no dead lanes
+
+    report("project_mul",
+           _stream_time(p_step, jnp.ones((n_big,), jnp.float32)),
+           n_big * 8, rows=n_big)
+    del key_big
 
     # dense group aggregate: read key+val (8B) + valid (1B); scatter add i32
     # count + max i32 + key/valid outputs (span ~ negligible)
