@@ -22,7 +22,7 @@ _libs: dict[str, ctypes.CDLL] = {}
 
 def _build(src: str, out_path: str) -> None:
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
         "-o", out_path, src, "-lm",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
@@ -201,3 +201,60 @@ def session_stats(keys, times, kmin: int, span: int):
     if rc != 0:
         return None
     return first, last
+
+
+def get_stage_lib() -> ctypes.CDLL:
+    """Compile (if stale/missing) and load libflockstage.so (window staging:
+    pad/rebase/convert in one streaming pass, stage.cpp)."""
+    lib = _load("stage.cpp", "libflockstage.so")
+    if not getattr(lib, "_flock_argtypes", False):
+        vp = ctypes.c_void_p
+        i64 = ctypes.c_int64
+        lib.flock_min_i64.argtypes = [vp, i64]
+        lib.flock_min_i64.restype = i64
+        lib.flock_stage_sub_i64_i32.argtypes = [vp, vp, i64, i64, i64]
+        lib.flock_stage_sub_i64_i32.restype = None
+        lib.flock_stage_copy.argtypes = [vp, vp, i64, i64]
+        lib.flock_stage_copy.restype = None
+        lib._flock_argtypes = True
+    return lib
+
+
+def stage_column(arr, capacity: int, rebase_base: int | None):
+    """One staged transfer buffer for a host column: int64 sources narrow to
+    int32 (minus ``rebase_base`` when given — the timestamp rebase) and every
+    dtype zero-pads to ``capacity`` rows, all in one native pass.  Returns
+    None when the native toolchain is unavailable (numpy fallback)."""
+    import numpy as np
+
+    try:
+        lib = get_stage_lib()
+    except RuntimeError:
+        return None
+    arr = np.ascontiguousarray(arr)
+    n = len(arr)
+    if arr.dtype == np.int64:
+        dst = np.empty(capacity, np.int32)
+        lib.flock_stage_sub_i64_i32(
+            arr.ctypes.data_as(ctypes.c_void_p),
+            dst.ctypes.data_as(ctypes.c_void_p),
+            n, capacity, rebase_base or 0)
+        return dst
+    dst = np.empty(capacity, arr.dtype)
+    lib.flock_stage_copy(
+        arr.ctypes.data_as(ctypes.c_void_p),
+        dst.ctypes.data_as(ctypes.c_void_p),
+        n * arr.itemsize, capacity * arr.itemsize)
+    return dst
+
+
+def min_i64(arr) -> int | None:
+    import numpy as np
+
+    try:
+        lib = get_stage_lib()
+    except RuntimeError:
+        return None
+    arr = np.ascontiguousarray(arr, np.int64)
+    return int(lib.flock_min_i64(
+        arr.ctypes.data_as(ctypes.c_void_p), len(arr)))
