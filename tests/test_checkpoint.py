@@ -86,3 +86,73 @@ def test_session_timeout_after_resume(tmp_path):
     assert emitted and emitted[0].t < len(epochs)
     assert not len(st.ob) and not st.chunks
     assert st.flush(len(epochs)) is None
+
+
+def test_dist_session_checkpoint_resume_on_mesh(tmp_path):
+    """Checkpoint/resume THROUGH the distributed session driver on the
+    8-shard mesh (the reference's replacement-worker flow, state/s3.rs +
+    actor.rs:391-413, but SPMD): mid-stream the session state serializes to
+    the file backend, a replacement driver restores it, restages the
+    restored rows into mesh HBM, and the continued run is row-exact vs the
+    uninterrupted single-device driver."""
+    from flock_tpu.parallel.stream import DistStreamDriver
+    from flock_tpu.queries.nexmark import get_query
+    from flock_tpu.runtime.stream import (StreamDriver, generate_epoch_parts)
+
+    SEC, EPS, G = 16, 200, 8
+    epochs = generate_epochs(SEC, EPS, G)
+    parts = generate_epoch_parts(SEC, EPS, G)
+    spec = get_query(11)
+    want = StreamDriver(spec, SEC).run(epochs)
+
+    def advance_through(driver, state, t, parts_t, out):
+        bid = driver._merged_bids(parts_t)
+        staged = driver._stage_session_chunk(bid) \
+            if len(bid[SessionState.key]) else None
+        em = state.advance(bid, t, staged=staged)
+        if em is not None:
+            r = driver._exec_session_tables(em, ("sessions", t))
+            if r is None:
+                r = driver._exec_session_batch(em.to_batch(0),
+                                               ("sessions", t))
+            out.append(r)
+        state.compact(StreamDriver.MAX_CHUNKS,
+                      restage=driver._stage_session_chunk)
+
+    backend = FileStateBackend(root=str(tmp_path))
+    split = 8
+    driver = DistStreamDriver(spec, SEC, 8)
+    state = SessionState(gap=spec.window[1])
+    out = []
+    for t in range(split):
+        advance_through(driver, state, t, parts[t], out)
+    # checkpoint → "crash" → replacement driver + restored state
+    for p in state.to_payloads("distck"):
+        backend.write(0, p)
+    seqs = backend.list_seqs("distck", 0, 0)
+    driver2 = DistStreamDriver(spec, SEC, 8)
+    state2 = SessionState.from_payloads(
+        spec.window[1],
+        [backend.read("distck", 0, 0, s) for s in seqs])
+    # restage the restored chunk so emissions keep the mesh label-table path
+    for ch in state2.chunks:
+        ch.staged = driver2._stage_session_chunk(ch.cols)
+    for t in range(split, SEC):
+        advance_through(driver2, state2, t, parts[t], out)
+    em = state2.flush(SEC)
+    if em is not None:
+        r = driver2._exec_session_tables(em, ("sessions", SEC))
+        if r is None:
+            r = driver2._exec_session_batch(em.to_batch(0),
+                                            ("sessions", SEC))
+        out.append(r)
+
+    def allrows(results):
+        names = ("bidder", "bid_count", "start_time", "end_time")
+        return sorted(
+            tuple(int(r.columns[c][i]) for c in names)
+            for r in results
+            for i in range(len(next(iter(r.columns.values())))))
+
+    got, expect = allrows(out), allrows(want)
+    assert len(expect) > 0 and got == expect
