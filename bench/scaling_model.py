@@ -73,6 +73,10 @@ def _trace_bytes(qnum, n_shards: int, rows_per_shard: dict[str, int]):
             epochs, tuple(r for r in spec.relations if r != "side_input")))
         if "side_input" in spec.relations:
             tables["side_input"] = default_side_input()
+        if qnum == 12:
+            # processing-time stamp the dist driver attaches per part
+            tables["bid"]["p_time"] = np.zeros(
+                len(tables["bid"]["bidder"]), np.int32)
 
     # realistic capacities: bench-scale rows per shard
     col_names = []
@@ -107,6 +111,46 @@ def _trace_bytes(qnum, n_shards: int, rows_per_shard: dict[str, int]):
     return records
 
 
+def _trace_session_bytes(n_shards: int, per_shard_cap: int, span_bucket: int,
+                         agg_cap: int, n_chunks: int):
+    """Trace the PRODUCTION distributed session-emission program
+    (parallel/stream._dist_session_fn — label + filter mesh-resident rows,
+    partial agg, all_to_all by __session, final agg) at bench-scale static
+    shapes with the byte tally on.  Also returns the label-table broadcast
+    volume (three int32[span_bucket] tables every shard receives)."""
+    import jax
+    import jax.numpy as jnp
+
+    import flock_tpu.parallel.executor as pex
+    import flock_tpu.parallel.shuffle as shuffle
+    from flock_tpu.parallel import stream as pstream
+    from flock_tpu.queries.nexmark import get_query
+
+    spec = get_query(11)
+    ex = pex.DistributedExecutor(spec, n_shards)
+    names = ("b_date_time", "bidder")
+    cap_sig = tuple([per_shard_cap] * n_chunks)
+    pstream._DIST_SESS_COMPILED.clear()
+    fm, _nb = pstream._dist_session_fn(
+        ex, spec, cap_sig, names, span_bucket, agg_cap, n_chunks)
+    sds = jax.ShapeDtypeStruct
+    flat = []
+    for _c in range(n_chunks):
+        flat += [sds((n_shards, per_shard_cap), jnp.int32)
+                 for _ in names]
+        flat.append(sds((n_shards, per_shard_cap), jnp.bool_))
+    flat += [sds((span_bucket,), jnp.int32)] * 3
+    flat.append(sds((2 + n_chunks,), jnp.int64))
+    shuffle.TALLY = records = []
+    try:
+        jax.eval_shape(fm, *flat)
+    finally:
+        shuffle.TALLY = None
+    pstream._DIST_SESS_COMPILED.clear()
+    label_bytes = 3 * span_bucket * 4
+    return records, label_bytes
+
+
 def main():
     # force the 8-device virtual CPU mesh even when the axon TPU plugin
     # self-registers from sitecustomize (same dance as tests/conftest.py)
@@ -121,7 +165,7 @@ def main():
     jax.config.update("jax_platforms", "cpu")
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="SCALING_r04.json")
+    ap.add_argument("--out", default="SCALING_r05.json")
     ap.add_argument("--bench", default="BENCH_QUERIES.json",
                     help="measured single-chip numbers (compute times)")
     args = ap.parse_args()
@@ -143,10 +187,23 @@ def main():
                      "with compute (worst case). CPU-mesh wall times are "
                      "excluded: the 2-vCPU host measures contention, not "
                      "scaling (see BENCH_NOTES rounds 2-3)."),
-            "q11_note": ("session windows shuffle only per-key label tables "
-                         "+ closed-session partials (parallel/stream.py); "
-                         "their collective volume is bounded by the q5-style "
-                         "per-key row, so q5's projection is the bound."),
+            "stateful_note": (
+                "q11/q12 are computed from REAL tallies, not bounded by "
+                "analogy (round-4 verdict item): their collective bytes are "
+                "traced from the PRODUCTION distributed programs "
+                "(parallel/stream._dist_session_fn for q11's label-table "
+                "emission; the generic SPMD lowering with the p_time column "
+                "for q12) at bench-scale static shapes, and their wall time "
+                "is decomposed so the host bookkeeping and answer "
+                "materialization terms do NOT divide by n.  FINDING: their "
+                "collective time is negligible (<2 ms/window at n=8) — the "
+                "scaling cap is Amdahl on the non-dividing terms (q11 "
+                "E(8)=0.22, q12 E(8)=0.26).  Path to the >=0.8 axis: port "
+                "the round-5 device-resident session state "
+                "(runtime/device_session.py, which already removed the host "
+                "term single-chip) to per-shard key ranges, which also "
+                "shards the answer materialization — every remaining term "
+                "then divides by n."),
         },
         "queries": {},
     }
@@ -189,6 +246,71 @@ def main():
                 entry["projected_wall_s"] = tn
                 entry["projected_efficiency"] = t1 / (n * tn)
                 entry["projected_rows_per_s_total"] = rows / tn
+            per_q["shards"][str(n)] = entry
+        out["queries"][q] = per_q
+
+    # stateful streaming queries (q11 sessions / q12 processing-time):
+    # collective bytes traced from the PRODUCTION distributed programs at
+    # bench-scale static shapes; wall-time decomposition instrumented on the
+    # real chip at the bench shape, round 5 (BENCH_NOTES) — the host
+    # bookkeeping and answer-materialization terms do NOT divide by n.
+    def _pow2(v):
+        c = 128
+        while c < v:
+            c *= 2
+        return c
+
+    PHASES = {
+        "11": {"host_s": 0.12, "mat_s": 0.25, "dev_s": 0.355,
+               "provenance": ("round-5 instrumented probe, 4x3.7M-row "
+                              "epochs on the v5e: SessionState.advance "
+                              "0.12 s + label-table emission exec 0.355 s "
+                              "+ answer materialize 0.25 s (the distributed "
+                              "driver's per-shard profile at n=1)")},
+        "12": {"host_s": 0.02, "mat_s": 0.06, "dev_s": 0.12,
+               "provenance": ("round-5 probe decomposition of the ~0.20 s "
+                              "streaming q12 wall at the same shape: "
+                              "per-chunk counts 0.12 s + readback 0.06 s "
+                              "+ host loop 0.02 s")},
+    }
+    rows_bench = bench.get("11", {}).get("rows_in", 14_718_160)
+    span_bucket = 1 << 19   # bidder key span at the bench shape (~323k)
+    sess_cap = 1 << 19      # closed sessions (~320k)
+    for q in ("11", "12"):
+        ph = PHASES[q]
+        t1 = ph["host_s"] + ph["mat_s"] + ph["dev_s"]
+        per_q = {"rows_in": rows_bench, "modeled_single_chip_wall_s": t1,
+                 "phases": ph, "windows": 1, "shards": {}}
+        for n in SHARDS:
+            try:
+                if q == "11":
+                    recs, label_b = _trace_session_bytes(
+                        n, _pow2(rows_bench // 4 // n), span_bucket,
+                        sess_cap, 4)
+                else:
+                    recs = _trace_bytes(
+                        12, n, {"bid": rows_bench // n})
+                    label_b = 0
+            except Exception as e:  # noqa: BLE001
+                per_q["shards"][str(n)] = {"error": str(e)[:200]}
+                continue
+            ici = sum(r["ici_bytes_per_shard"] for r in recs) + label_b
+            n_coll = len(recs) + (1 if label_b else 0)
+            comm_s = ici / (ICI_GBPS * 1e9) + n_coll * ICI_LAT_S
+            tn = ph["host_s"] + ph["mat_s"] + ph["dev_s"] / n + comm_s
+            entry = {
+                "ici_bytes_per_shard_per_window": ici,
+                "label_table_broadcast_bytes": label_b,
+                "collectives_per_window": n_coll,
+                "by_op": {},
+                "projected_comm_s": comm_s,
+                "projected_wall_s": tn,
+                "projected_efficiency": t1 / (n * tn),
+                "projected_rows_per_s_total": rows_bench / tn,
+            }
+            for r in recs:
+                entry["by_op"].setdefault(r["op"], 0)
+                entry["by_op"][r["op"]] += r["ici_bytes_per_shard"]
             per_q["shards"][str(n)] = entry
         out["queries"][q] = per_q
 

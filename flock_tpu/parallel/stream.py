@@ -27,15 +27,11 @@ from flock_tpu.runtime.tables import concat_relations, default_side_input
 _DIST_SESS_COMPILED: dict = {}
 
 
-def _dist_session_exec(executor, spec, staged_chunks, cids, rank_tab,
-                       ok_tab, end_tab, cmin, k, agg_cap):
-    """One SPMD dispatch: label + filter mesh-resident session chunk rows
-    from broadcast dense tables, then run the plan with distributed
-    lowering (partial agg → all_to_all by __session → final agg).
-
-    ``staged_chunks``: dicts of col → [n_shards, cap] mesh-sharded arrays
-    (plus ``__valid``); the tables are O(key-span) and replicated — the
-    distributed port of runtime/executor._run_plan_session_tables."""
+def _dist_session_fn(executor, spec, cap_sig: tuple, names: tuple,
+                     span_bucket: int, agg_cap: int, n_chunks: int):
+    """Build (or fetch) the compiled SPMD session-emission program for a
+    shape signature (also used by bench/scaling_model.py to trace the
+    program's collective bytes at bench-scale shapes without data)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -43,14 +39,9 @@ def _dist_session_exec(executor, spec, staged_chunks, cids, rank_tab,
     from flock_tpu.parallel.executor import _Ctx, lower_dist
     from flock_tpu.parallel.mesh import AXIS
     from flock_tpu.plan import fuse_join_aggregates
-    from flock_tpu.runtime.executor import OverflowError
 
     key_col = SessionState.key
     rel = next(r for r in spec.relations if r != "side_input")
-    names = tuple(sorted(c for c in staged_chunks[0] if c != "__valid"))
-    cap_sig = tuple(next(iter(ch.values())).shape[1] for ch in staged_chunks)
-    span_bucket = len(rank_tab)
-    n_chunks = len(staged_chunks)
     ck = (spec.plan, executor.n_shards, executor.mesh, cap_sig, names,
           span_bucket, agg_cap)
     if ck not in _DIST_SESS_COMPILED:
@@ -98,7 +89,26 @@ def _dist_session_exec(executor, spec, staged_chunks, cids, rank_tab,
             out_specs=P(AXIS, None),
         ))
         _DIST_SESS_COMPILED[ck] = (fm, names_box)
-    fm, names_box = _DIST_SESS_COMPILED[ck]
+    return _DIST_SESS_COMPILED[ck]
+
+
+def _dist_session_exec(executor, spec, staged_chunks, cids, rank_tab,
+                       ok_tab, end_tab, cmin, k, agg_cap):
+    """One SPMD dispatch: label + filter mesh-resident session chunk rows
+    from broadcast dense tables, then run the plan with distributed
+    lowering (partial agg → all_to_all by __session → final agg).
+
+    ``staged_chunks``: dicts of col → [n_shards, cap] mesh-sharded arrays
+    (plus ``__valid``); the tables are O(key-span) and replicated — the
+    distributed port of runtime/executor._run_plan_session_tables."""
+    from flock_tpu.runtime.executor import OverflowError
+
+    names = tuple(sorted(c for c in staged_chunks[0] if c != "__valid"))
+    cap_sig = tuple(next(iter(ch.values())).shape[1] for ch in staged_chunks)
+    span_bucket = len(rank_tab)
+    fm, names_box = _dist_session_fn(
+        executor, spec, cap_sig, names, span_bucket, agg_cap,
+        len(staged_chunks))
 
     flat = []
     for ch in staged_chunks:
