@@ -198,12 +198,17 @@ def main():
                 "materialization terms do NOT divide by n.  FINDING: their "
                 "collective time is negligible (<2 ms/window at n=8) — the "
                 "scaling cap is Amdahl on the non-dividing terms (q11 "
-                "E(8)=0.22, q12 E(8)=0.26).  Path to the >=0.8 axis: port "
-                "the round-5 device-resident session state "
-                "(runtime/device_session.py, which already removed the host "
-                "term single-chip) to per-shard key ranges, which also "
-                "shards the answer materialization — every remaining term "
-                "then divides by n."),
+                "E(8)=0.22, q12 E(8)=0.26).  The q11 row models the "
+                "LABEL-TABLE tier; round 5 ALSO shipped the key-range "
+                "device-state tier (parallel/stream._run_session_device — "
+                "now the distributed default for incremental session "
+                "plans): per-shard span accumulators under shard_map with "
+                "ZERO collectives (asserted by tally in "
+                "tests/test_dist_stream.py), so its compute divides "
+                "perfectly; the remaining non-dividing terms are the "
+                "host-side key router (the SOURCE's job in the reference "
+                "architecture — HashDiff partitions at the source) and the "
+                "single-host answer gather (per-shard sinks remove it)."),
         },
         "queries": {},
     }

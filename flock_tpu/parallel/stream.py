@@ -315,13 +315,28 @@ class DistStreamDriver:
         return WindowResult(tag, materialize_columns(self.spec, host))
 
     def _run_session(self, epoch_parts) -> list[WindowResult]:
-        """STREAMING session windows (see StreamDriver._run_session): closed
-        sessions execute per epoch; host state is bounded by open sessions.
+        """STREAMING session windows (see StreamDriver._run_session), three
+        tiers:
 
-        Emissions ship O(key-span) label tables to the mesh and each shard
-        labels its HBM-resident rows itself (the local driver's
-        execute_session_tables path, distributed); the host-materializing
-        row-shard path remains only as the sparse-key/degenerate fallback."""
+        * KEY-RANGE device-resident state (``_run_session_device``) — when
+          the plan is incrementally aggregable, shards own disjoint key
+          ranges and each keeps its slice of the dense span accumulators in
+          its own HBM.  Sessions are per-key, so the per-epoch step is
+          COLLECTIVE-FREE data parallelism: every term of the wall time
+          divides by the mesh width (the scaling model's path to the ≥0.8
+          axis — SCALING_r05.json stateful_note).
+        * label-table path — emissions ship O(key-span) label tables and
+          each shard labels its HBM-resident rows itself.
+        * host-materializing row-shard fallback (sparse/degenerate keys).
+        """
+        from flock_tpu.runtime import device_session as ds
+
+        gap = self.spec.window[1]
+        rel = next(r for r in self.spec.relations if r != "side_input")
+        fs = ds.session_fast_spec(self.spec, SessionState.key, rel) \
+            if gap >= 1 else None
+        if fs is not None:
+            return self._run_session_device(epoch_parts, fs)
         state = SessionState(gap=self.spec.window[1])
         out: list[WindowResult] = []
         sid = 0
@@ -347,6 +362,179 @@ class DistStreamDriver:
                 r = self._exec_session_batch(em.to_batch(sid),
                                              ("sessions", t + 1))
             out.append(r)
+        return out
+
+    # -- key-range device-resident sessions ----------------------------------
+
+    def _run_session_device(self, epoch_parts, fs) -> list[WindowResult]:
+        """Key-range sharded incremental sessions (runtime/device_session
+        per shard, under shard_map — no collectives).  Key-space growth
+        restarts the run with doubled per-shard spans: range boundaries move
+        with the span, so in-place growth would strand state on the wrong
+        shard (growth is rare — the initial span anticipates linear key
+        growth across the stream)."""
+        from flock_tpu.runtime import device_session as ds
+
+        key, tcol = SessionState.key, SessionState.time_col
+        epoch_aggs, accs = ds._acc_plan(fs, key, tcol)
+        need = sorted({key, tcol}
+                      | {c for c, _f, _o in epoch_aggs if c is not None})
+        metas = []
+        for parts in epoch_parts:
+            bid = self._merged_bids(parts)
+            bid = {c: bid[c] for c in need}
+            k = bid[key]
+            metas.append((len(k), int(k.min()) if len(k) else 0,
+                          int(k.max()) if len(k) else -1, bid))
+        first = next((t for t in range(len(metas)) if metas[t][0]), None)
+        if first is None:
+            return []
+        m = metas[first][1]
+        span0 = metas[first][2] - m + 1
+        for attempt in range(6):
+            S_shard = ds._bucket(
+                max(span0 * len(metas) // self.n_shards, 1) + 4096
+            ) * (2 ** attempt)
+            res = self._session_device_once(metas, first, fs, epoch_aggs,
+                                            accs, m, S_shard,
+                                            8192 * (2 ** attempt))
+            if res is not None:
+                return res
+        raise RuntimeError("distributed device sessions: span retry budget")
+
+    def _session_device_once(self, metas, first, fs, epoch_aggs, accs,
+                             m, S_shard, cap_out0):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from flock_tpu.batch import Batch
+        from flock_tpu.parallel.mesh import AXIS
+        from flock_tpu.runtime import device_session as ds
+        from flock_tpu.runtime.stream import _bucket_cap
+
+        key, tcol = SessionState.key, SessionState.time_col
+        gap = self.spec.window[1]
+        n = self.n_shards
+        mesh = self.executor.mesh
+        sh_row = NamedSharding(mesh, P(AXIS, None))
+        sh_vec = NamedSharding(mesh, P(AXIS))
+        state_names = ("open", "last_s") + tuple(nm for nm, _ in accs)
+        idents = {"open": False, "last_s": ds.I32_MIN}
+        idents.update({nm: ident for nm, (_e, _f, _d, ident) in accs})
+        dts = {"open": np.bool_, "last_s": np.int32}
+        dts.update({nm: (np.int64 if _d == jnp.int64 else np.int32)
+                    for nm, (_e, _f, _d, _i) in accs})
+        # buffers carry an S_shard tail pad (device_session.step_impl's
+        # window merge uses SE = S_shard here, so the pad keeps the merge
+        # slice from clamping); each shard's LOGICAL range stays S_shard
+        state = {nm: jax.device_put(
+            np.full((n, 2 * S_shard), idents[nm], dts[nm]), sh_row)
+            for nm in state_names}
+        m_sh = jax.device_put(
+            (m + np.arange(n, dtype=np.int64) * S_shard).astype(np.int32),
+            sh_vec)
+
+        def build_fns(cap, cap_out, may_close):
+            ck = ("devsess", self.spec.plan, n, mesh, S_shard, cap, cap_out,
+                  may_close)
+            if ck in _DIST_SESS_COMPILED:
+                return _DIST_SESS_COMPILED[ck]
+
+            def local_step(st, cols, valid, msh, scal):
+                st1 = {k2: v[0] for k2, v in st.items()}
+                cc = {k2: v[0] for k2, v in cols.items()}
+                st2, oc, ov, ne, ovf = ds.step_impl(
+                    key, tcol, epoch_aggs, accs, S_shard, cap_out,
+                    fs.s_loc, may_close, scal[0], scal[1], msh[0],
+                    st1, cc, valid[0])
+                return ({k2: v[None] for k2, v in st2.items()},
+                        {k2: v[None] for k2, v in oc.items()},
+                        ne.reshape(1), ovf.reshape(1))
+
+            fn = jax.jit(jax.shard_map(
+                local_step, mesh=mesh,
+                in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None),
+                          P(AXIS), P(None)),
+                out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS))))
+            _DIST_SESS_COMPILED[ck] = fn
+            return fn
+
+        def build_flush(cap_out):
+            ck = ("devsess_flush", self.spec.plan, n, mesh, S_shard, cap_out)
+            if ck in _DIST_SESS_COMPILED:
+                return _DIST_SESS_COMPILED[ck]
+
+            def local_flush(st, msh):
+                st1 = {k2: v[0] for k2, v in st.items()}
+                oc, ov, ne = ds.flush_impl(accs, cap_out, msh[0], st1)
+                return ({k2: v[None] for k2, v in oc.items()},
+                        ne.reshape(1))
+
+            fn = jax.jit(jax.shard_map(
+                local_flush, mesh=mesh,
+                in_specs=(P(AXIS, None), P(AXIS)),
+                out_specs=(P(AXIS, None), P(AXIS))))
+            _DIST_SESS_COMPILED[ck] = fn
+            return fn
+
+        need = sorted({key, tcol}
+                      | {c for c, _f, _o in epoch_aggs if c is not None})
+
+        def materialize(oc, ne_host, tag):
+            names_oc = sorted(oc)
+            fetched = jax.device_get([oc[c] for c in names_oc])
+            cols = {c: np.concatenate(
+                [a[i, :ne_host[i]] for i in range(n)])
+                for c, a in zip(names_oc, fetched)}
+            host = ds.finish_names(fs, key, cols)
+            return WindowResult(tag, materialize_columns(self.spec, host))
+
+        out: list[WindowResult] = []
+        cap_out = cap_out0
+        for t in range(first, len(metas)):
+            nrows, _mn, _mx, bid = metas[t]
+            may_close = (t - first) > gap - 1
+            if nrows:
+                k = bid[key]
+                part = np.clip((np.asarray(k, np.int64) - m) // S_shard,
+                               0, n - 1)
+                per = int(max(np.bincount(part, minlength=n).max(), 1))
+                cap = _bucket_cap(per)
+                stacked = {c: [] for c in need}
+                valids = []
+                for i in range(n):
+                    sel = part == i
+                    b = Batch.from_numpy(
+                        {c: np.asarray(bid[c])[sel] for c in need}, cap)
+                    for c in need:
+                        stacked[c].append(np.asarray(b.columns[c]))
+                    valids.append(np.asarray(b.valid))
+                cols_dev = {c: jax.device_put(np.stack(v), sh_row)
+                            for c, v in stacked.items()}
+                valid_dev = jax.device_put(np.stack(valids), sh_row)
+            else:
+                cap = 128
+                cols_dev = {c: jax.device_put(
+                    np.zeros((n, cap), np.int32), sh_row) for c in need}
+                valid_dev = jax.device_put(np.zeros((n, cap), bool), sh_row)
+            scal = np.asarray([gap, t + 1 - gap], np.int32)
+            fn = build_fns(cap, cap_out, may_close)
+            state2, oc, ne, ovf = fn(state, cols_dev, valid_dev, m_sh, scal)
+            ovf_h, ne_h = jax.device_get((ovf, ne))
+            if bool(np.asarray(ovf_h).any()):
+                return None       # span/output growth → caller restarts
+            state = state2
+            if may_close and int(np.asarray(ne_h).sum()):
+                out.append(materialize(oc, np.asarray(ne_h),
+                                       ("sessions", t)))
+
+        flush = build_flush(S_shard)
+        oc, ne = flush(state, m_sh)
+        ne_h = np.asarray(jax.device_get(ne))
+        if int(ne_h.sum()):
+            out.append(materialize(oc, ne_h, ("sessions", len(metas))))
         return out
 
     def _run_global(self, epoch_parts) -> list[WindowResult]:

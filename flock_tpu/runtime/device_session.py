@@ -162,11 +162,13 @@ def _grow(state: dict, S2: int, idents: tuple) -> dict:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
-def session_step(key: str, tcol: str, epoch_aggs: tuple, accs: tuple,
-                 SE: int, cap_out: int, s_loc: int | None, may_close: bool,
-                 gap_s, cutoff_s, m, state: dict, cols: dict, valid):
+def step_impl(key: str, tcol: str, epoch_aggs: tuple, accs: tuple,
+              SE: int, cap_out: int, s_loc: int | None, may_close: bool,
+              gap_s, cutoff_s, m, state: dict, cols: dict, valid):
     """One epoch: aggregate → window-merge → gap/timeout close → compact.
+    Pure (unjitted) form — the local driver jits it directly and the
+    distributed driver runs it per shard under shard_map (sessions are
+    per-key, so key-range shards need NO collectives at all).
 
     Returns (state', out_cols, out_valid, n_emit, overflow).  ``m`` is the
     state's base key (slot i ↔ key m+i); ``cutoff_s`` the timeout threshold
@@ -186,10 +188,15 @@ def session_step(key: str, tcol: str, epoch_aggs: tuple, accs: tuple,
     first_s = e_out["__emn"] // 1000
     last_s = e_out["__emx"] // 1000
 
-    # 2. contiguous window merge at [SE] (keys outside the epoch span are
-    #    untouched except by the timeout scan below)
+    # 2. contiguous window merge at [SE].  State buffers are allocated with
+    #    an SE-slot TAIL PAD beyond the logical key span (callers allocate
+    #    S_logical + SE), so the slice window never clamps for in-range
+    #    epochs — the overflow test is on the ACTUAL max key vs the logical
+    #    span, not on m_e + SE (which would falsely fire whenever SE spans
+    #    the whole state, e.g. the distributed key-range shards).
+    mx_e = jnp.max(jnp.where(valid, cols[key], I32_MIN))
     off = jnp.clip(m_e - m, 0, S - SE).astype(jnp.int32)
-    span_ovf = has & ((m_e < m) | (m_e - m + SE > S))
+    span_ovf = has & ((m_e < m) | (mx_e - m >= S - SE))
     w_open = jax.lax.dynamic_slice(state["open"], (off,), (SE,))
     w_last = jax.lax.dynamic_slice(state["last_s"], (off,), (SE,))
     if may_close:
@@ -242,6 +249,10 @@ def session_step(key: str, tcol: str, epoch_aggs: tuple, accs: tuple,
     return state3, out_cols, out_valid, n_emit, ovf
 
 
+session_step = partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))(
+    step_impl)
+
+
 def _extract(emask, evals: dict, m, cap_out: int):
     S = emask.shape[0]
     r_inc = jnp.cumsum(emask.astype(jnp.int32))
@@ -259,11 +270,13 @@ def _extract(emask, evals: dict, m, cap_out: int):
     return out, out_valid, n_emit
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def session_flush(accs: tuple, cap_out: int, m, state: dict):
+def flush_impl(accs: tuple, cap_out: int, m, state: dict):
     """Close every remaining open session (bounded-run semantics)."""
     evals = {name: state[name] for name, _ in accs}
     return _extract(state["open"], evals, m, cap_out)
+
+
+session_flush = partial(jax.jit, static_argnums=(0, 1))(flush_impl)
 
 
 # ---------------------------------------------------------------------------
@@ -309,7 +322,9 @@ def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec):
     S = _bucket(span0 * max(n_ep, 1) + 8192)
     SE = _bucket(max(max(mx - mn + 1 for n, mn, mx, _ in metas if n), 1))
     cap_out = 8192
-    state = init_state(S, accs)
+    # buffers carry an SE-slot tail pad so the step's window merge never
+    # clamps (see step_impl); logical key span stays [m, m+S)
+    state = init_state(S + SE, accs)
 
     results: list[WindowResult] = []
     pending = []   # (t, prev_state, out_cols, out_valid, n_emit, ovf)
@@ -330,11 +345,13 @@ def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec):
             if retries > 6:
                 raise RuntimeError("device session path: retry budget")
             # grow every bucket (cheap relative to a wrong answer); the span
-            # grows by padding the live state
+            # grows by padding the live state (the old tail pad becomes part
+            # of the logical span — pad slots hold identities, i.e. they are
+            # valid never-opened sessions)
             SE = SE * 2
             cap_out = cap_out * 2
             S2 = S * 2
-            state = grow(prev, S2, accs)
+            state = grow(prev, S2 + SE, accs)
             S = S2
             pending = []
             t = et
@@ -416,7 +433,15 @@ def _materialize(driver, fs: FastSessionSpec, key: str, et: int,
         if nm not in i32:
             ncols[nm] = np.asarray(a[:nr])[:n]
 
-    # name mapping: slot key → key-column aggregates; epoch outs → plan outs
+    return WindowResult(("sessions", et),
+                        materialize_columns(driver.spec,
+                                            finish_names(fs, key, ncols)))
+
+
+def finish_names(fs: FastSessionSpec, key: str, ncols: dict) -> dict:
+    """Map raw emission columns (slot ``__key`` + accumulator outs) to the
+    plan's output names: aggregates OF the session key read the slot key;
+    the top Project's passthrough renames apply last."""
     host = {}
     for c, fn, out in fs.aggs:
         if c == key and fn in ("min", "max"):
@@ -425,8 +450,7 @@ def _materialize(driver, fs: FastSessionSpec, key: str, et: int,
             host[out] = ncols[out]
     if fs.renames is not None:
         host = {name: host[src] for name, src in fs.renames}
-    return WindowResult(("sessions", et),
-                        materialize_columns(driver.spec, host))
+    return host
 
 
 def _round1k(n: int) -> int:
