@@ -44,6 +44,55 @@ def round_up(n: int, m: int | None = None) -> int:
     return ((n + m - 1) // m) * m
 
 
+def staged_numpy(cols: Mapping[str, np.ndarray], capacity: int | None = None,
+                 rebase_ts: bool = True):
+    """(padded host columns, valid mask) — the transfer-buffer staging pass
+    WITHOUT any device copy: callers that stack/shard buffers before one
+    device_put (the distributed stream drivers) use this directly instead of
+    bouncing through device arrays.
+
+    Native staging (native/stage.cpp) does pad/rebase/narrow in one
+    streaming pass per column — numpy's subtract→astype→concatenate chain
+    is three passes plus temporaries and dominated the feed (2.7 s per
+    14.7M-row window on the 2-vCPU host; the reference's analogous hot loop
+    is transmute.rs:255-266)."""
+    n = len(next(iter(cols.values()))) if cols else 0
+    if capacity is None:
+        capacity = max(round_up(n), 128)
+    if n > capacity:
+        raise ValueError(f"{n} rows exceed capacity {capacity}")
+    native_stage = None
+    if n >= (1 << 16):
+        from flock_tpu import native as _native
+
+        native_stage = _native.stage_column
+    out = {}
+    for name, arr in cols.items():
+        arr = np.asarray(arr)
+        if native_stage is not None and arr.ndim == 1:
+            base = None
+            if arr.dtype == np.int64:
+                # absolute ms timestamps rebase to relative int32;
+                # int64 columns already in small ranges just narrow
+                mn = _native.min_i64(arr) if arr.size else None
+                base = TS_BASE if (rebase_ts and mn is not None
+                                   and mn >= TS_BASE) else 0
+            staged = native_stage(arr, capacity, base)
+            if staged is not None:
+                out[name] = staged
+                continue
+        if arr.dtype == np.int64:
+            if rebase_ts and arr.size and int(arr.min()) >= TS_BASE:
+                arr = (arr - TS_BASE).astype(np.int32)
+            else:
+                arr = arr.astype(np.int32)
+        pad = np.zeros(capacity - n, dtype=arr.dtype)
+        out[name] = np.concatenate([arr, pad])
+    valid = np.zeros(capacity, dtype=bool)
+    valid[:n] = True
+    return out, valid
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class Batch:
@@ -67,46 +116,9 @@ class Batch:
                    rebase_ts: bool = True) -> "Batch":
         """Pad host columns to ``capacity`` rows; int64 ms timestamps are
         rebased to int32 relative ms."""
-        n = len(next(iter(cols.values()))) if cols else 0
-        if capacity is None:
-            capacity = max(round_up(n), 128)
-        if n > capacity:
-            raise ValueError(f"{n} rows exceed capacity {capacity}")
-        # native staging (native/stage.cpp): pad/rebase/narrow in one
-        # streaming pass per column — numpy's subtract→astype→concatenate
-        # chain is three passes plus temporaries and dominated the feed
-        # (2.7 s per 14.7M-row window on the 2-vCPU host; the reference's
-        # analogous hot loop is transmute.rs:255-266)
-        native_stage = None
-        if n >= (1 << 16):
-            from flock_tpu import native as _native
-
-            native_stage = _native.stage_column
-        out = {}
-        for name, arr in cols.items():
-            arr = np.asarray(arr)
-            if native_stage is not None and arr.ndim == 1:
-                base = None
-                if arr.dtype == np.int64:
-                    # absolute ms timestamps rebase to relative int32;
-                    # int64 columns already in small ranges just narrow
-                    mn = _native.min_i64(arr) if arr.size else None
-                    base = TS_BASE if (rebase_ts and mn is not None
-                                       and mn >= TS_BASE) else 0
-                staged = native_stage(arr, capacity, base)
-                if staged is not None:
-                    out[name] = jnp.asarray(staged)
-                    continue
-            if arr.dtype == np.int64:
-                if rebase_ts and arr.size and int(arr.min()) >= TS_BASE:
-                    arr = (arr - TS_BASE).astype(np.int32)
-                else:
-                    arr = arr.astype(np.int32)
-            pad = np.zeros(capacity - n, dtype=arr.dtype)
-            out[name] = jnp.asarray(np.concatenate([arr, pad]))
-        valid = np.zeros(capacity, dtype=bool)
-        valid[:n] = True
-        return cls(columns=out, valid=jnp.asarray(valid))
+        out, valid = staged_numpy(cols, capacity, rebase_ts)
+        return cls(columns={k: jnp.asarray(v) for k, v in out.items()},
+                   valid=jnp.asarray(valid))
 
     @classmethod
     def empty_like(cls, proto: "Batch") -> "Batch":

@@ -96,10 +96,12 @@ def _final_aggs(aggs):
 
 
 def _expand_cap(n_probe: int, node) -> int | None:
-    """Fan-out headroom for duplicate build keys (see plan.py Join lowering)."""
+    """Fan-out headroom for duplicate build keys (plan.dup_expand_capacity)."""
+    from flock_tpu.plan import dup_expand_capacity
+
     if node.unique_build:
         return None
-    return n_probe + max((n_probe // 2 + 127) // 128 * 128, 128)
+    return dup_expand_capacity(n_probe)
 
 
 def lower_dist(node: Node, tables: dict, ctx: _Ctx):

@@ -261,6 +261,8 @@ class DistStreamDriver:
         from flock_tpu.parallel.mesh import AXIS
         from flock_tpu.runtime.stream import _bucket_cap
 
+        from flock_tpu.batch import staged_numpy
+
         n = len(next(iter(cols.values())))
         per = -(-n // self.n_shards)
         cap = _bucket_cap(max(per, 1))
@@ -268,10 +270,14 @@ class DistStreamDriver:
         valids = []
         for i in range(self.n_shards):
             sel = np_.arange(n) % self.n_shards == i
-            b = Batch.from_numpy({k: v[sel] for k, v in cols.items()}, cap)
+            # host-side staging only: the ONE device transfer is the
+            # stacked device_put below (Batch.from_numpy would bounce every
+            # shard's columns through device arrays first)
+            scols, svalid = staged_numpy({k: v[sel] for k, v in cols.items()},
+                                         cap)
             for k in cols:
-                stacked.setdefault(k, []).append(np_.asarray(b.columns[k]))
-            valids.append(np_.asarray(b.valid))
+                stacked.setdefault(k, []).append(scols[k])
+            valids.append(svalid)
         sh = NamedSharding(self.executor.mesh, P(AXIS, None))
         dev = {k: jax.device_put(np_.stack(v), sh)
                for k, v in stacked.items()}
@@ -385,15 +391,18 @@ class DistStreamDriver:
             bid = {c: bid[c] for c in need}
             k = bid[key]
             metas.append((len(k), int(k.min()) if len(k) else 0,
-                          int(k.max()) if len(k) else -1, bid))
+                          int(k.max()) if len(k) else -1, bid,
+                          *ds._event_sec_range(bid.get(SessionState.time_col))))
         first = next((t for t in range(len(metas)) if metas[t][0]), None)
         if first is None:
             return []
-        m = metas[first][1]
-        span0 = metas[first][2] - m + 1
+        # global key range: a later epoch's key below the first epoch's min
+        # must not strand the base (range boundaries cannot rebase downward)
+        m = min(mn for nn, mn, *_ in metas if nn)
+        kmax_all = max(mx for nn, _mn, mx, *_ in metas if nn)
         for attempt in range(6):
             S_shard = ds._bucket(
-                max(span0 * len(metas) // self.n_shards, 1) + 4096
+                max((kmax_all - m + 1) // self.n_shards, 1) + 4096
             ) * (2 ** attempt)
             res = self._session_device_once(metas, first, fs, epoch_aggs,
                                             accs, m, S_shard,
@@ -409,7 +418,7 @@ class DistStreamDriver:
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
 
-        from flock_tpu.batch import Batch
+        from flock_tpu.batch import staged_numpy
         from flock_tpu.parallel.mesh import AXIS
         from flock_tpu.runtime import device_session as ds
         from flock_tpu.runtime.stream import _bucket_cap
@@ -493,9 +502,16 @@ class DistStreamDriver:
 
         out: list[WindowResult] = []
         cap_out = cap_out0
+        min_ev_seen = None
         for t in range(first, len(metas)):
-            nrows, _mn, _mx, bid = metas[t]
-            may_close = (t - first) > gap - 1
+            nrows, _mn, _mx, bid, ev_mn, ev_mx = metas[t]
+            # event-time closure gate (see device_session.run_device_sessions)
+            if nrows:
+                min_ev_seen = ev_mn if min_ev_seen is None \
+                    else min(min_ev_seen, ev_mn)
+            may_close = min_ev_seen is not None and (
+                (t + 1 - gap > min_ev_seen)
+                or (nrows and ev_mx - min_ev_seen > gap))
             if nrows:
                 k = bid[key]
                 part = np.clip((np.asarray(k, np.int64) - m) // S_shard,
@@ -506,11 +522,11 @@ class DistStreamDriver:
                 valids = []
                 for i in range(n):
                     sel = part == i
-                    b = Batch.from_numpy(
+                    scols, svalid = staged_numpy(
                         {c: np.asarray(bid[c])[sel] for c in need}, cap)
                     for c in need:
-                        stacked[c].append(np.asarray(b.columns[c]))
-                    valids.append(np.asarray(b.valid))
+                        stacked[c].append(scols[c])
+                    valids.append(svalid)
                 cols_dev = {c: jax.device_put(np.stack(v), sh_row)
                             for c, v in stacked.items()}
                 valid_dev = jax.device_put(np.stack(valids), sh_row)

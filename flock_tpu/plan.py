@@ -194,6 +194,15 @@ def _slot_dense(node: Node, key: str) -> bool:
     return False
 
 
+def dup_expand_capacity(n_probe: int) -> int:
+    """Join output capacity with fan-out headroom for duplicate build keys:
+    half the probe capacity of free tail (128-aligned) on top of whatever
+    padding the probe already carries; extras beyond it overflow and the
+    drivers widen-and-retry.  Single definition shared by the local and
+    distributed lowerings so their retry behavior cannot drift."""
+    return n_probe + max((n_probe // 2 + 127) // 128 * 128, 128)
+
+
 @dataclass
 class Lowered:
     """Result of lowering a node: columns + validity + overflow accumulator."""
@@ -268,11 +277,7 @@ def lower(node: Node, tables: dict[str, Batch], agg_capacity: int | None = None)
         else:
             exp_cap = None
             if not node.unique_build and not b_slotted:
-                # fan-out headroom for duplicate build keys: half the probe
-                # capacity of free tail (plus whatever padding the probe
-                # already carries); beyond that → overflow, caller widens
-                n_p = p.valid.shape[0]
-                exp_cap = n_p + max((n_p // 2 + 127) // 128 * 128, 128)
+                exp_cap = dup_expand_capacity(p.valid.shape[0])
             cols, valid, ovf = kernels.lookup_join(
                 b.cols, b.valid, node.build_key,
                 p.cols, p.valid, node.probe_key, dict(node.take),

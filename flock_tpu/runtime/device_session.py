@@ -291,6 +291,20 @@ def _bucket(n: int) -> int:
     return c
 
 
+def _event_sec_range(tc) -> tuple:
+    """(min, max) EVENT second of a host time column, relative to TS_BASE
+    (absolute int64 inputs rebase; already-relative inputs pass through)."""
+    from flock_tpu.batch import TS_BASE
+
+    if tc is None or not len(tc):
+        return (0, 0)
+    tmin, tmax = int(np.min(tc)), int(np.max(tc))
+    if tmin >= TS_BASE:
+        tmin -= TS_BASE
+        tmax -= TS_BASE
+    return (tmin // 1000, tmax // 1000)
+
+
 def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec):
     """The StreamDriver session loop on the incremental device path.
 
@@ -304,23 +318,30 @@ def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec):
     gap = driver.spec.window[1]
     epoch_aggs, accs = _acc_plan(fs, key, tcol)
 
-    # host-side per-epoch metadata (key range — two SIMD passes per epoch)
+    # host-side per-epoch metadata: key range + EVENT-second range (four
+    # SIMD passes per epoch).  The event-time range drives the may_close
+    # gate — closure possibility depends on event seconds, not arrival
+    # epochs (late rows can time out sessions long before gap epochs have
+    # arrived).
     metas = []
     for t, tables in enumerate(epochs):
         bid = driver._needed_cols(tables["bid"], extra=(key, tcol))
         k = bid[key]
         metas.append((len(k), int(k.min()) if len(k) else 0,
-                      int(k.max()) if len(k) else -1, bid))
+                      int(k.max()) if len(k) else -1, bid,
+                      *_event_sec_range(bid.get(tcol))))
 
     n_ep = len(epochs)
     first = next((t for t in range(n_ep) if metas[t][0]), None)
     if first is None:
         return []
-    m = metas[first][1]
-    span0 = metas[first][2] - m + 1
-    # anticipate linear key growth across the stream so the span rarely grows
-    S = _bucket(span0 * max(n_ep, 1) + 8192)
-    SE = _bucket(max(max(mx - mn + 1 for n, mn, mx, _ in metas if n), 1))
+    # the driver consumes the whole epoch list, so the state base and span
+    # come from the GLOBAL key range — a later epoch's key below the first
+    # epoch's min must not strand the base (growth cannot rebase downward)
+    m = min(mn for nn, mn, _mx, *_ in metas if nn)
+    kmax_all = max(mx for nn, _mn, mx, *_ in metas if nn)
+    S = _bucket(kmax_all - m + 1 + 8192)
+    SE = _bucket(max(max(mx - mn + 1 for nn, mn, mx, *_ in metas if nn), 1))
     cap_out = 8192
     # buffers carry an SE-slot tail pad so the step's window merge never
     # clamps (see step_impl); logical key span stays [m, m+S)
@@ -330,6 +351,7 @@ def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec):
     pending = []   # (t, prev_state, out_cols, out_valid, n_emit, ovf)
     t = 0
     retries = 0
+    min_ev_seen = None  # lowest event second over epochs processed so far
 
     def staged_batch(t):
         if prestaged is not None and prestaged[t] is not None:
@@ -361,7 +383,7 @@ def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec):
             results.append((et, out_cols, out_valid, n))
         return True
 
-    kmax_seen = max(mx for _n, _mn, mx, _ in metas)
+    kmax_seen = max(mx for _n, _mn, mx, *_ in metas)
     while True:
         while t < n_ep:
             if t < first:
@@ -372,9 +394,21 @@ def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec):
             cutoff = np.int32(t + 1 - gap)
             need = {key, tcol} | {c for c, _f, _o in epoch_aggs
                                   if c is not None}
-            # closures are impossible within ``gap`` seconds of the first
-            # data (any open session's last_s >= first) — merge-only step
-            may_close = (t - first) > gap - 1
+            # closure possibility is an EVENT-time question: every open
+            # session's last_s is >= the lowest event second seen, so
+            # neither a timeout (cutoff = t+1-gap must exceed some last_s)
+            # nor a gap close (some epoch first_s - last_s > gap) can
+            # happen until the bounds below say so — then the merge-only
+            # step form no longer applies.  (An arrival-epoch-based gate
+            # silently merged sessions that late rows should have timed
+            # out.)
+            ev_mn, ev_mx = metas[t][4], metas[t][5]
+            if nrows:
+                min_ev_seen = ev_mn if min_ev_seen is None \
+                    else min(min_ev_seen, ev_mn)
+            may_close = min_ev_seen is not None and (
+                (t + 1 - gap > min_ev_seen)
+                or (nrows and ev_mx - min_ev_seen > gap))
             if nrows:
                 st2, out_cols, out_valid, n_emit, ovf = session_step(
                     key, tcol, epoch_aggs, accs, SE, cap_out, fs.s_loc,

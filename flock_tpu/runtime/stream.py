@@ -656,6 +656,8 @@ class StreamDriver:
                 continue
             out.append(WindowResult(tag, self.executor.materialize(b)))
             widx += 1
+            attempt = 0   # the widen budget is per WINDOW, like the
+            # sibling retry loops — not shared across the stream
         return out
 
     def _execute_retry(self, tag, tables, caps) -> WindowResult:

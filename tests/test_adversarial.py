@@ -198,3 +198,69 @@ def test_session_soak_large():
                              for k in ("bidder", "bid_count",
                                        "start_time", "end_time"))))
     assert got == want_rows
+
+
+def _mk_bid_epoch(bidders, secs):
+    base = NexmarkConfig().base_time
+    n = len(bidders)
+    return {"bid": {
+        "auction": np.full(n, 5, np.int64),
+        "bidder": np.asarray(bidders, np.int64),
+        "price": np.arange(n, dtype=np.int64) + 100,
+        "b_date_time": base + np.asarray(secs, np.int64) * 1000,
+    }}
+
+
+def _session_rows(results):
+    return sorted(
+        tuple(int(r.columns[c][i]) for c in ("bidder", "bid_count",
+                                             "start_time", "end_time"))
+        for r in results
+        for i in range(len(next(iter(r.columns.values())))))
+
+
+@pytest.mark.parametrize("dist", [False, True])
+def test_device_session_key_below_first_epoch_min(dist, monkeypatch):
+    """A later epoch's key BELOW the first epoch's min must not strand the
+    device tier's state base (span growth cannot rebase downward; the base
+    now comes from the global key range).  Formerly a retry-budget crash."""
+    from flock_tpu.runtime import device_session as ds_mod
+
+    empty = _mk_bid_epoch([], [])
+    epochs = [_mk_bid_epoch([5000, 5001, 5002], [0, 0, 0]),
+              _mk_bid_epoch([4000], [1])] + [empty] * 13
+    spec = get_query(11)
+    if dist:
+        from flock_tpu.parallel.stream import DistStreamDriver
+
+        parts = [[e] for e in epochs]
+        got = _session_rows(DistStreamDriver(spec, len(epochs), 8).run(parts))
+    else:
+        got = _session_rows(StreamDriver(spec, len(epochs)).run(epochs))
+    monkeypatch.setattr(ds_mod, "session_fast_spec", lambda *a, **kw: None)
+    want = _session_rows(StreamDriver(spec, len(epochs)).run(epochs))
+    assert got == want and len(want) == 4
+
+
+@pytest.mark.parametrize("dist", [False, True])
+def test_device_session_late_rows_event_time_timeouts(dist, monkeypatch):
+    """Late rows (event second lagging the arrival epoch) must still time
+    sessions out: the merge-only step gate is an EVENT-time bound, not an
+    arrival-epoch bound.  Formerly the device tier merged two sessions the
+    generic tier (and session.rs semantics) close separately."""
+    from flock_tpu.runtime import device_session as ds_mod
+
+    empty = _mk_bid_epoch([], [])
+    epochs = ([empty] * 8 + [_mk_bid_epoch([100], [0])] + [empty] * 3
+              + [_mk_bid_epoch([100], [12])] + [empty] * 10)
+    spec = get_query(11)
+    if dist:
+        from flock_tpu.parallel.stream import DistStreamDriver
+
+        parts = [[e] for e in epochs]
+        got = _session_rows(DistStreamDriver(spec, len(epochs), 8).run(parts))
+    else:
+        got = _session_rows(StreamDriver(spec, len(epochs)).run(epochs))
+    monkeypatch.setattr(ds_mod, "session_fast_spec", lambda *a, **kw: None)
+    want = _session_rows(StreamDriver(spec, len(epochs)).run(epochs))
+    assert got == want and len(want) == 2
