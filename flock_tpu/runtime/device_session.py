@@ -489,3 +489,62 @@ def finish_names(fs: FastSessionSpec, key: str, ncols: dict) -> dict:
 
 def _round1k(n: int) -> int:
     return (max(n, 1) + 1023) // 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume
+# ---------------------------------------------------------------------------
+
+
+def to_payloads(state: dict, m: int, accs, qid: str, epoch: int):
+    """Checkpoint the open sessions through the payload codec.
+
+    Unlike the generic tier (SessionState.to_payloads re-ships every
+    retained ROW so the replacement worker can re-aggregate), the device
+    tier's state already IS the aggregates: the checkpoint is one payload of
+    O(open sessions) — (key, last_s, accumulator...) per open slot.
+    Reference analogue: the S3 window-state checkpoint (state/s3.rs +
+    actor.rs:391-413)."""
+    import jax
+
+    from flock_tpu.runtime.payload import FragmentId, Payload
+
+    host = {k: np.asarray(v) for k, v in jax.device_get(state).items()}
+    idx = np.flatnonzero(host["open"])
+    if not len(idx):
+        return []
+    cols = {"__key": (idx.astype(np.int64) + m),
+            "last_s": host["last_s"][idx].astype(np.int64)}
+    for name, _spec in accs:
+        cols[name] = host[name][idx]
+    return [Payload(FragmentId(qid, 0, 1, shuffle_id=0), cols,
+                    metadata={"epoch": int(epoch)})]
+
+
+def from_payloads(payloads, accs, m: int, S_buf: int):
+    """Restore a device session state (buffer span ``S_buf``, base ``m``)
+    from checkpoint payloads.  Returns (state, restored_epoch) or raises if
+    a restored key falls outside [m, m+S_buf) — the resuming driver picks
+    the base/span from the checkpointed key range plus its own forecast."""
+    payloads = list(payloads)
+    state = init_state(S_buf, accs)
+    if not payloads:
+        return state, 0
+    keys = np.concatenate([np.asarray(p.columns["__key"]) for p in payloads])
+    pos = keys - m
+    if len(pos) and (pos.min() < 0 or pos.max() >= S_buf):
+        raise ValueError("restored session keys outside the state span")
+    pos = pos.astype(np.int64)
+    open_ = np.zeros(S_buf, bool)
+    open_[pos] = True
+    last_s = np.full(S_buf, I32_MIN, np.int32)
+    last_s[pos] = np.concatenate(
+        [np.asarray(p.columns["last_s"]) for p in payloads]).astype(np.int32)
+    out = {"open": jnp.asarray(open_), "last_s": jnp.asarray(last_s)}
+    for name, (_eo, _fn, dt, ident) in accs:
+        buf = np.full(S_buf, ident,
+                      np.int64 if dt == jnp.int64 else np.int32)
+        buf[pos] = np.concatenate([np.asarray(p.columns[name])
+                                   for p in payloads])
+        out[name] = jnp.asarray(buf)
+    return out, max(p.metadata["epoch"] for p in payloads)

@@ -156,3 +156,72 @@ def test_dist_session_checkpoint_resume_on_mesh(tmp_path):
 
     got, expect = allrows(out), allrows(want)
     assert len(expect) > 0 and got == expect
+
+
+def test_device_session_state_checkpoint_resume(tmp_path):
+    """Checkpoint/resume for the DEVICE session tier (runtime/device_session):
+    the state already IS the per-session aggregates, so the checkpoint is one
+    payload of O(open sessions) — no row re-shipping (contrast
+    SessionState.to_payloads).  A replacement state restored from the file
+    backend continues the stream and the union of emissions is row-exact vs
+    the generic-tier run.  Driven at the state layer, exactly like the
+    SessionState checkpoint tests above."""
+    import jax.numpy as jnp
+
+    from flock_tpu.queries.nexmark import get_query
+    from flock_tpu.runtime import device_session as ds
+
+    spec = get_query(11)
+    gap = spec.window[1]
+    epochs = generate_epochs(16, 200, 1)
+    want = _run_sessions(epochs)
+
+    key, tcol = SessionState.key, SessionState.time_col
+    fs = ds.session_fast_spec(spec, key, "bid")
+    assert fs is not None
+    epoch_aggs, accs = ds._acc_plan(fs, key, tcol)
+    need = sorted({key, tcol})
+    from flock_tpu.batch import TS_BASE, Batch
+
+    kmin = min(int(e["bid"][key].min()) for e in epochs if len(e["bid"][key]))
+    kmax = max(int(e["bid"][key].max()) for e in epochs if len(e["bid"][key]))
+    m, SE = kmin, 1024
+    S_buf = ds._bucket(kmax - kmin + 1 + 1) + SE
+    state = ds.init_state(S_buf, accs)
+    backend = FileStateBackend(root=str(tmp_path))
+    split = 8
+    rows = []
+
+    def emit(out_cols, n):
+        cols = {c: np.asarray(a)[:n] for c, a in out_cols.items()}
+        host = ds.finish_names(fs, key, cols)
+        for i in range(n):
+            rows.append((int(host["bidder"][i]), int(host["bid_count"][i]),
+                         int(host["start_time"][i]) + TS_BASE,
+                         int(host["end_time"][i]) + TS_BASE))
+
+    for t, tables in enumerate(epochs):
+        if t == split:
+            # checkpoint → "crash" → restore into a fresh state
+            for p in ds.to_payloads(state, m, accs, "devck", t):
+                backend.write(0, p)
+            seqs = backend.list_seqs("devck", 0, 0)
+            state, ep = ds.from_payloads(
+                [backend.read("devck", 0, 0, s) for s in seqs],
+                accs, m, S_buf)
+            assert ep == split
+        bid = {c: tables["bid"][c] for c in need}
+        b = Batch.from_numpy(dict(bid), max(len(bid[key]), 128))
+        st2, oc, ov, ne, ovf = ds.step_impl(
+            key, tcol, epoch_aggs, accs, SE, 1024, None, True,
+            np.int32(gap), np.int32(t + 1 - gap), np.int32(m),
+            state, dict(b.columns), b.valid)
+        assert not bool(ovf)
+        state = st2
+        n = int(ne)
+        if n:
+            emit(oc, n)
+    oc, ov, ne = ds.flush_impl(accs, S_buf, np.int32(m), state)
+    if int(ne):
+        emit(oc, int(ne))
+    assert sorted(rows) == want and len(want) > 0
