@@ -505,13 +505,8 @@ class DistStreamDriver:
         min_ev_seen = None
         for t in range(first, len(metas)):
             nrows, _mn, _mx, bid, ev_mn, ev_mx = metas[t]
-            # event-time closure gate (see device_session.run_device_sessions)
-            if nrows:
-                min_ev_seen = ev_mn if min_ev_seen is None \
-                    else min(min_ev_seen, ev_mn)
-            may_close = min_ev_seen is not None and (
-                (t + 1 - gap > min_ev_seen)
-                or (nrows and ev_mx - min_ev_seen > gap))
+            min_ev_seen, may_close = ds.closure_gate(
+                min_ev_seen, ev_mn, ev_mx, nrows, t, gap)
             if nrows:
                 k = bid[key]
                 part = np.clip((np.asarray(k, np.int64) - m) // S_shard,

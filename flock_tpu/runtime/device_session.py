@@ -291,6 +291,27 @@ def _bucket(n: int) -> int:
     return c
 
 
+def closure_gate(min_ev_seen, ev_mn: int, ev_mx: int, nrows: int, t: int,
+                 gap: int) -> tuple:
+    """(min_ev_seen', may_close) — the event-time closure-possibility gate
+    shared by the local and distributed session drivers (one definition so
+    their step-form selection cannot drift).
+
+    Closure possibility is an EVENT-time question: every open session's
+    last_s is ≥ the lowest event second tracked (``min_ev_seen``; a resume
+    must seed it with from_payloads' ev_floor), so neither a timeout
+    (cutoff = t+1-gap must exceed some last_s) nor a gap close (some epoch
+    first_s − last_s > gap) can happen until these bounds say so — until
+    then the merge-only step form applies."""
+    if nrows:
+        min_ev_seen = ev_mn if min_ev_seen is None \
+            else min(min_ev_seen, ev_mn)
+    may_close = min_ev_seen is not None and (
+        (t + 1 - gap > min_ev_seen)
+        or (bool(nrows) and ev_mx - min_ev_seen > gap))
+    return min_ev_seen, may_close
+
+
 def _event_sec_range(tc) -> tuple:
     """(min, max) EVENT second of a host time column, relative to TS_BASE
     (absolute int64 inputs rebase; already-relative inputs pass through)."""
@@ -383,7 +404,6 @@ def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec):
             results.append((et, out_cols, out_valid, n))
         return True
 
-    kmax_seen = max(mx for _n, _mn, mx, *_ in metas)
     while True:
         while t < n_ep:
             if t < first:
@@ -394,21 +414,10 @@ def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec):
             cutoff = np.int32(t + 1 - gap)
             need = {key, tcol} | {c for c, _f, _o in epoch_aggs
                                   if c is not None}
-            # closure possibility is an EVENT-time question: every open
-            # session's last_s is >= the lowest event second seen, so
-            # neither a timeout (cutoff = t+1-gap must exceed some last_s)
-            # nor a gap close (some epoch first_s - last_s > gap) can
-            # happen until the bounds below say so — then the merge-only
-            # step form no longer applies.  (An arrival-epoch-based gate
-            # silently merged sessions that late rows should have timed
-            # out.)
-            ev_mn, ev_mx = metas[t][4], metas[t][5]
-            if nrows:
-                min_ev_seen = ev_mn if min_ev_seen is None \
-                    else min(min_ev_seen, ev_mn)
-            may_close = min_ev_seen is not None and (
-                (t + 1 - gap > min_ev_seen)
-                or (nrows and ev_mx - min_ev_seen > gap))
+            # event-time closure gate (an arrival-epoch-based gate silently
+            # merged sessions that late rows should have timed out)
+            min_ev_seen, may_close = closure_gate(
+                min_ev_seen, metas[t][4], metas[t][5], nrows, t, gap)
             if nrows:
                 st2, out_cols, out_valid, n_emit, ovf = session_step(
                     key, tcol, epoch_aggs, accs, SE, cap_out, fs.s_loc,
@@ -433,7 +442,7 @@ def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec):
         # dispatch the flush BEFORE draining the tail confirms: it rides the
         # device pipeline while the host blocks on the last epochs' flags
         # (optimistic like everything else — a rollback just re-dispatches)
-        flush_cap = _bucket(max(kmax_seen - m + 1, 1))
+        flush_cap = _bucket(max(kmax_all - m + 1, 1))
         f_cols, f_valid, f_n = session_flush(
             accs, flush_cap, np.int32(m), state)
         ok = True
@@ -502,7 +511,10 @@ def to_payloads(state: dict, m: int, accs, qid: str, epoch: int):
     Unlike the generic tier (SessionState.to_payloads re-ships every
     retained ROW so the replacement worker can re-aggregate), the device
     tier's state already IS the aggregates: the checkpoint is one payload of
-    O(open sessions) — (key, last_s, accumulator...) per open slot.
+    O(open sessions) — (key, last_s, accumulator...) per open slot.  A
+    checkpoint with ZERO open sessions still writes the (empty) payload:
+    the epoch watermark must advance, or a crash after every session closed
+    would resume from a stale earlier checkpoint and re-emit its windows.
     Reference analogue: the S3 window-state checkpoint (state/s3.rs +
     actor.rs:391-413)."""
     import jax
@@ -511,8 +523,6 @@ def to_payloads(state: dict, m: int, accs, qid: str, epoch: int):
 
     host = {k: np.asarray(v) for k, v in jax.device_get(state).items()}
     idx = np.flatnonzero(host["open"])
-    if not len(idx):
-        return []
     cols = {"__key": (idx.astype(np.int64) + m),
             "last_s": host["last_s"][idx].astype(np.int64)}
     for name, _spec in accs:
@@ -523,13 +533,17 @@ def to_payloads(state: dict, m: int, accs, qid: str, epoch: int):
 
 def from_payloads(payloads, accs, m: int, S_buf: int):
     """Restore a device session state (buffer span ``S_buf``, base ``m``)
-    from checkpoint payloads.  Returns (state, restored_epoch) or raises if
-    a restored key falls outside [m, m+S_buf) — the resuming driver picks
-    the base/span from the checkpointed key range plus its own forecast."""
+    from checkpoint payloads.  Returns (state, restored_epoch, ev_floor);
+    raises if a restored key falls outside [m, m+S_buf) — the resuming
+    driver picks the base/span from the checkpointed key range plus its own
+    forecast.  ``ev_floor`` (None when no sessions were open) is the MINIMUM
+    restored last-row second: the resuming driver MUST seed its closure
+    gate's event floor with it (closure_gate's soundness rests on
+    "every open session's last_s ≥ the lowest event second tracked", which
+    a fresh run gets for free but a restore must re-establish)."""
     payloads = list(payloads)
-    state = init_state(S_buf, accs)
     if not payloads:
-        return state, 0
+        return init_state(S_buf, accs), 0, None
     keys = np.concatenate([np.asarray(p.columns["__key"]) for p in payloads])
     pos = keys - m
     if len(pos) and (pos.min() < 0 or pos.max() >= S_buf):
@@ -537,9 +551,10 @@ def from_payloads(payloads, accs, m: int, S_buf: int):
     pos = pos.astype(np.int64)
     open_ = np.zeros(S_buf, bool)
     open_[pos] = True
-    last_s = np.full(S_buf, I32_MIN, np.int32)
-    last_s[pos] = np.concatenate(
+    last_h = np.concatenate(
         [np.asarray(p.columns["last_s"]) for p in payloads]).astype(np.int32)
+    last_s = np.full(S_buf, I32_MIN, np.int32)
+    last_s[pos] = last_h
     out = {"open": jnp.asarray(open_), "last_s": jnp.asarray(last_s)}
     for name, (_eo, _fn, dt, ident) in accs:
         buf = np.full(S_buf, ident,
@@ -547,4 +562,5 @@ def from_payloads(payloads, accs, m: int, S_buf: int):
         buf[pos] = np.concatenate([np.asarray(p.columns[name])
                                    for p in payloads])
         out[name] = jnp.asarray(buf)
-    return out, max(p.metadata["epoch"] for p in payloads)
+    ev_floor = int(last_h.min()) if len(last_h) else None
+    return out, max(p.metadata["epoch"] for p in payloads), ev_floor

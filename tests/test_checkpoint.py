@@ -206,10 +206,13 @@ def test_device_session_state_checkpoint_resume(tmp_path):
             for p in ds.to_payloads(state, m, accs, "devck", t):
                 backend.write(0, p)
             seqs = backend.list_seqs("devck", 0, 0)
-            state, ep = ds.from_payloads(
+            state, ep, ev_floor = ds.from_payloads(
                 [backend.read("devck", 0, 0, s) for s in seqs],
                 accs, m, S_buf)
             assert ep == split
+            # the resumer must seed the closure gate's event floor with the
+            # restored minimum last-row second (gate-soundness contract)
+            assert ev_floor is not None
         bid = {c: tables["bid"][c] for c in need}
         b = Batch.from_numpy(dict(bid), max(len(bid[key]), 128))
         st2, oc, ov, ne, ovf = ds.step_impl(
@@ -225,3 +228,26 @@ def test_device_session_state_checkpoint_resume(tmp_path):
     if int(ne):
         emit(oc, int(ne))
     assert sorted(rows) == want and len(want) > 0
+
+
+def test_device_session_empty_checkpoint_advances_watermark(tmp_path):
+    """A checkpoint with ZERO open sessions still writes its (empty)
+    payload: the epoch watermark must advance, or a crash after every
+    session closed would restore a stale earlier checkpoint and re-emit
+    windows."""
+    from flock_tpu.queries.nexmark import get_query
+    from flock_tpu.runtime import device_session as ds
+
+    spec = get_query(11)
+    fs = ds.session_fast_spec(spec, SessionState.key, "bid")
+    _ea, accs = ds._acc_plan(fs, SessionState.key, SessionState.time_col)
+    state = ds.init_state(2048, accs)   # nothing open
+    backend = FileStateBackend(root=str(tmp_path))
+    for p in ds.to_payloads(state, 1000, accs, "devck2", 9):
+        backend.write(0, p)
+    seqs = backend.list_seqs("devck2", 0, 0)
+    assert seqs, "empty checkpoint must still persist the watermark"
+    st, ep, ev_floor = ds.from_payloads(
+        [backend.read("devck2", 0, 0, s) for s in seqs], accs, 1000, 2048)
+    assert ep == 9 and ev_floor is None
+    assert not bool(np.asarray(st["open"]).any())
