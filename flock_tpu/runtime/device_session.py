@@ -329,10 +329,16 @@ def _event_sec_range(tc) -> tuple:
 def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec):
     """The StreamDriver session loop on the incremental device path.
 
-    Pipelined optimistic dispatch: epoch t+1 is dispatched against epoch t's
-    (unconfirmed) state; t's overflow flag is then fetched while t+1 runs on
-    device.  A flagged overflow rolls back to t's input state, doubles the
-    offending bucket, and reruns from t."""
+    Pipelined optimistic dispatch: later epochs dispatch against earlier
+    epochs' UNCONFIRMED states; overflow flags are fetched lazily in
+    BATCHES of up to ``CONFIRM_WINDOW`` epochs (one device_get for the
+    whole batch).  Through a high-latency control path a per-epoch flag
+    fetch costs a full round-trip (~25 ms tunnel RTT vs ~10 ms of device
+    work per epoch — measured round 5), so per-epoch confirmation made the
+    host the bottleneck; batching keeps the device queue fed back-to-back.
+    A flagged overflow rolls back to the OLDEST failed epoch's input state
+    (every unconfirmed epoch's input state is retained), doubles the
+    buckets, and reruns from there."""
     from flock_tpu.runtime.stream import SessionState, WindowResult
 
     key, tcol = SessionState.key, SessionState.time_col
@@ -379,29 +385,41 @@ def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec):
             return prestaged[t]
         return driver.executor.stage_chunk(metas[t][3])
 
-    def confirm(entry):
+    def _confirm_window() -> int:
+        # each unconfirmed epoch retains a full state snapshot for rollback;
+        # bound the window by ~256 MB of retained HBM (16 at bench spans)
+        state_bytes = sum(int(np.dtype(a.dtype).itemsize) * a.shape[0]
+                          for a in state.values())
+        return max(2, min(16, (1 << 28) // max(state_bytes, 1)))
+
+    def confirm_batch(entries):
+        """Fetch every entry's (ovf, n_emit) in ONE device_get; commit the
+        clean prefix, roll back at the first flagged epoch."""
         nonlocal state, t, retries, S, SE, cap_out, pending
-        et, prev, out_cols, out_valid, n_emit, ovf = entry
-        ovf_v, n_v = jax.device_get((ovf, n_emit))
-        if bool(ovf_v):
-            retries += 1
-            if retries > 6:
-                raise RuntimeError("device session path: retry budget")
-            # grow every bucket (cheap relative to a wrong answer); the span
-            # grows by padding the live state (the old tail pad becomes part
-            # of the logical span — pad slots hold identities, i.e. they are
-            # valid never-opened sessions)
-            SE = SE * 2
-            cap_out = cap_out * 2
-            S2 = S * 2
-            state = grow(prev, S2 + SE, accs)
-            S = S2
-            pending = []
-            t = et
-            return False
-        n = int(n_v)
-        if n:
-            results.append((et, out_cols, out_valid, n))
+        if not entries:
+            return True
+        flat = jax.device_get([(e[5], e[4]) for e in entries])
+        for (et, prev, out_cols, out_valid, _ne, _ovf), (ovf_v, n_v) \
+                in zip(entries, flat):
+            if bool(np.asarray(ovf_v)):
+                retries += 1
+                if retries > 6:
+                    raise RuntimeError("device session path: retry budget")
+                # grow every bucket (cheap relative to a wrong answer); the
+                # span grows by padding the live state (the old tail pad
+                # becomes part of the logical span — pad slots hold
+                # identities, i.e. valid never-opened sessions)
+                SE = SE * 2
+                cap_out = cap_out * 2
+                S2 = S * 2
+                state = grow(prev, S2 + SE, accs)
+                S = S2
+                pending = []
+                t = et
+                return False
+            n = int(np.asarray(n_v))
+            if n:
+                results.append((et, out_cols, out_valid, n))
         return True
 
     while True:
@@ -437,18 +455,18 @@ def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec):
             pending.append((t, state, out_cols, out_valid, n_emit, ovf))
             state = st2
             t += 1
-            if len(pending) >= 2 and not confirm(pending.pop(0)):
-                continue
+            if len(pending) >= _confirm_window():
+                batch_, pending = pending, []
+                if not confirm_batch(batch_):
+                    continue
         # dispatch the flush BEFORE draining the tail confirms: it rides the
         # device pipeline while the host blocks on the last epochs' flags
         # (optimistic like everything else — a rollback just re-dispatches)
         flush_cap = _bucket(max(kmax_all - m + 1, 1))
         f_cols, f_valid, f_n = session_flush(
             accs, flush_cap, np.int32(m), state)
-        ok = True
-        while pending and ok:
-            ok = confirm(pending.pop(0))
-        if ok:
+        batch_, pending = pending, []
+        if confirm_batch(batch_):
             break
     n = int(jax.device_get(f_n))
     if n:
