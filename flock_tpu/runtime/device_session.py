@@ -253,6 +253,30 @@ session_step = partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))(
     step_impl)
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def session_scan(key: str, tcol: str, epoch_aggs: tuple, accs: tuple,
+                 SE: int, cap_out: int, s_loc: int | None, may_close: bool,
+                 gap_s, t0, m, state: dict, cols3: dict, valid2):
+    """W epochs in ONE dispatch: lax.scan of the step over stacked
+    [W, C] epoch batches.  Through a high-latency control path the relay
+    admits ~one request per round-trip (async dispatch does not pipeline —
+    measured round 5), so per-epoch dispatches cost ~RTT each; the scan
+    pays one.  Returns (state', stacked emissions [W, cap_out], n_emits
+    [W], overflows [W])."""
+    W = valid2.shape[0]
+
+    def body(st, x):
+        cc, vv, widx = x
+        st2, oc, _ov, ne, ovf = step_impl(
+            key, tcol, epoch_aggs, accs, SE, cap_out, s_loc, may_close,
+            gap_s, t0 + widx + 1 - gap_s, m, st, cc, vv)
+        return st2, (oc, ne, ovf)
+
+    state2, (ocs, nes, ovfs) = jax.lax.scan(
+        body, state, (cols3, valid2, jnp.arange(W, dtype=jnp.int32)))
+    return state2, ocs, nes, ovfs
+
+
 def _extract(emask, evals: dict, m, cap_out: int):
     S = emask.shape[0]
     r_inc = jnp.cumsum(emask.astype(jnp.int32))
@@ -375,105 +399,101 @@ def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec):
     state = init_state(S + SE, accs)
 
     results: list[WindowResult] = []
-    pending = []   # (t, prev_state, out_cols, out_valid, n_emit, ovf)
-    t = 0
     retries = 0
-    min_ev_seen = None  # lowest event second over epochs processed so far
+    need = sorted({key, tcol} | {c for c, _f, _o in epoch_aggs
+                                 if c is not None})
 
-    def staged_batch(t):
+    # host-side closure gates for every epoch (sequential, cheap), then
+    # group CONSECUTIVE epochs with equal (capacity bucket, gate) into scan
+    # chunks of ≤ SCAN_W — each chunk is ONE device dispatch
+    SCAN_W = 16
+    gates = []
+    mev = None
+    for t in range(n_ep):
+        mev, mc = closure_gate(mev, metas[t][4], metas[t][5],
+                               metas[t][0], t, gap)
+        gates.append(mc)
+
+    def _pow2(n):
+        c = 128
+        while c < n:
+            c *= 2
+        return c
+
+    def epoch_cap(t):
         if prestaged is not None and prestaged[t] is not None:
-            return prestaged[t]
-        return driver.executor.stage_chunk(metas[t][3])
+            return prestaged[t].capacity
+        return _pow2(metas[t][0])
 
-    def _confirm_window() -> int:
-        # each unconfirmed epoch retains a full state snapshot for rollback;
-        # bound the window by ~256 MB of retained HBM (16 at bench spans)
-        state_bytes = sum(int(np.dtype(a.dtype).itemsize) * a.shape[0]
-                          for a in state.values())
-        return max(2, min(16, (1 << 28) // max(state_bytes, 1)))
-
-    def confirm_batch(entries):
-        """Fetch every entry's (ovf, n_emit) in ONE device_get; commit the
-        clean prefix, roll back at the first flagged epoch."""
-        nonlocal state, t, retries, S, SE, cap_out, pending
-        if not entries:
-            return True
-        flat = jax.device_get([(e[5], e[4]) for e in entries])
-        for (et, prev, out_cols, out_valid, _ne, _ovf), (ovf_v, n_v) \
-                in zip(entries, flat):
-            if bool(np.asarray(ovf_v)):
-                retries += 1
-                if retries > 6:
-                    raise RuntimeError("device session path: retry budget")
-                # grow every bucket (cheap relative to a wrong answer); the
-                # span grows by padding the live state (the old tail pad
-                # becomes part of the logical span — pad slots hold
-                # identities, i.e. valid never-opened sessions)
-                SE = SE * 2
-                cap_out = cap_out * 2
-                S2 = S * 2
-                state = grow(prev, S2 + SE, accs)
-                S = S2
-                pending = []
-                t = et
-                return False
-            n = int(np.asarray(n_v))
-            if n:
-                results.append((et, out_cols, out_valid, n))
-        return True
-
-    while True:
-        while t < n_ep:
-            if t < first:
-                t += 1
-                continue
-            nrows = metas[t][0]
-            batch = staged_batch(t) if nrows else None
-            cutoff = np.int32(t + 1 - gap)
-            need = {key, tcol} | {c for c, _f, _o in epoch_aggs
-                                  if c is not None}
-            # event-time closure gate (an arrival-epoch-based gate silently
-            # merged sessions that late rows should have timed out)
-            min_ev_seen, may_close = closure_gate(
-                min_ev_seen, metas[t][4], metas[t][5], nrows, t, gap)
-            if nrows:
-                st2, out_cols, out_valid, n_emit, ovf = session_step(
-                    key, tcol, epoch_aggs, accs, SE, cap_out, fs.s_loc,
-                    may_close, np.int32(gap), cutoff, np.int32(m),
-                    state, {c: batch.columns[c] for c in need}, batch.valid)
-            else:
-                # timeout-only epoch: an empty batch still advances time
-                empty = {key: jnp.zeros((128,), jnp.int32),
-                         tcol: jnp.zeros((128,), jnp.int32)}
-                for c, _f, _o in epoch_aggs:
-                    if c is not None:
-                        empty.setdefault(c, jnp.zeros((128,), jnp.int32))
-                st2, out_cols, out_valid, n_emit, ovf = session_step(
-                    key, tcol, epoch_aggs, accs, SE, cap_out, fs.s_loc,
-                    may_close, np.int32(gap), cutoff, np.int32(m),
-                    state, empty, jnp.zeros((128,), bool))
-            pending.append((t, state, out_cols, out_valid, n_emit, ovf))
-            state = st2
+    chunks = []   # (t_start, [t...], C, may_close)
+    t = first
+    while t < n_ep:
+        C, mc = epoch_cap(t), gates[t]
+        ts = [t]
+        t += 1
+        while (t < n_ep and len(ts) < SCAN_W and gates[t] == mc
+               and epoch_cap(t) == C):
+            ts.append(t)
             t += 1
-            if len(pending) >= _confirm_window():
-                batch_, pending = pending, []
-                if not confirm_batch(batch_):
-                    continue
-        # dispatch the flush BEFORE draining the tail confirms: it rides the
-        # device pipeline while the host blocks on the last epochs' flags
-        # (optimistic like everything else — a rollback just re-dispatches)
-        flush_cap = _bucket(max(kmax_all - m + 1, 1))
-        f_cols, f_valid, f_n = session_flush(
-            accs, flush_cap, np.int32(m), state)
-        batch_, pending = pending, []
-        if confirm_batch(batch_):
-            break
+        chunks.append((ts[0], ts, C, mc))
+
+    def staged_cols(t, C):
+        """One epoch's columns as [C] device arrays (empty epochs → zeros)."""
+        if metas[t][0] == 0:
+            z = jnp.zeros((C,), jnp.int32)
+            return {c: z for c in need}, jnp.zeros((C,), bool)
+        if prestaged is not None and prestaged[t] is not None \
+                and prestaged[t].capacity == C:
+            b = prestaged[t]
+        else:
+            b = driver.executor.stage_chunk(metas[t][3], capacity=C)
+        return {c: b.columns[c] for c in need}, b.valid
+
+    ci = 0
+    while ci < len(chunks):
+        t0, ts, C, mc = chunks[ci]
+        cols3 = {}
+        valids = []
+        percols = [staged_cols(t, C) for t in ts]
+        for c in need:
+            cols3[c] = jnp.stack([pc[0][c] for pc in percols])
+        valid2 = jnp.stack([pc[1] for pc in percols])
+        chunk_start = state
+        state, ocs, nes, ovfs = session_scan(
+            key, tcol, epoch_aggs, accs, SE, cap_out, fs.s_loc, mc,
+            np.int32(gap), np.int32(t0), np.int32(m),
+            chunk_start, cols3, valid2)
+        ovf_h, ne_h = jax.device_get((ovfs, nes))
+        if bool(np.asarray(ovf_h).any()):
+            retries += 1
+            if retries > 6:
+                raise RuntimeError("device session path: retry budget")
+            # grow every bucket (cheap relative to a wrong answer); the
+            # span grows by padding the live state (the old tail pad
+            # becomes part of the logical span — pad slots hold
+            # identities, i.e. valid never-opened sessions)
+            SE = SE * 2
+            cap_out = cap_out * 2
+            S2 = S * 2
+            state = grow(chunk_start, S2 + SE, accs)
+            S = S2
+            continue      # redo this chunk against the grown state
+        if mc:
+            for w, t in enumerate(ts):
+                n = int(np.asarray(ne_h)[w])
+                if n:
+                    results.append((t, {c: a[w] for c, a in ocs.items()}, n))
+        ci += 1
+
+    flush_cap = _bucket(max(kmax_all - m + 1, 1))
+    f_cols, f_valid, f_n = session_flush(
+        accs, flush_cap, np.int32(m), state)
     n = int(jax.device_get(f_n))
     if n:
-        results.append((n_ep, f_cols, f_valid, n))
+        results.append((n_ep, f_cols, n))
 
     return [_materialize(driver, fs, key, et, out_cols, n)
-            for et, out_cols, _ov, n in results]
+            for et, out_cols, n in results]
 
 
 def _materialize(driver, fs: FastSessionSpec, key: str, et: int,
