@@ -249,10 +249,6 @@ def step_impl(key: str, tcol: str, epoch_aggs: tuple, accs: tuple,
     return state3, out_cols, out_valid, n_emit, ovf
 
 
-session_step = partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))(
-    step_impl)
-
-
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def session_scan(key: str, tcol: str, epoch_aggs: tuple, accs: tuple,
                  SE: int, cap_out: int, s_loc: int | None, may_close: bool,
