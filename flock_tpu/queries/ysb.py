@@ -25,7 +25,8 @@ def ysb_query() -> QuerySpec:
                    "event_type='view'")
     joined = Join(build=Scan("campaign"), probe=views,
                   build_key="c_ad_id", probe_key="ad_id",
-                  take=(("campaign_id", "campaign_id"),))
+                  take=(("campaign_id", "campaign_id"),),
+                  unique_build=True)  # campaign ids are a generated range
     plan = Aggregate(joined, group_keys=("campaign_id",),
                      aggs=((None, "count", "count"),), out_capacity=128)
     return QuerySpec(

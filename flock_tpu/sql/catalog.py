@@ -30,6 +30,12 @@ class Table:
     functional_deps: dict[str, tuple[str, ...]] = field(default_factory=dict)
     dictionaries: dict[str, list[str]] = field(default_factory=dict)
     timestamp_cols: tuple[str, ...] = ()
+    # STRUCTURALLY-guaranteed unique key (generated as a dense range, e.g.
+    # side_input.key, campaign.c_ad_id) — stronger than ``unique_key``,
+    # which only nominates the build side of joins: NEXMark's own id
+    # arithmetic duplicates a_id/p_id at misaligned generator counts, so
+    # those stay soft and keep the runtime fan-out machinery armed
+    hard_unique: bool = False
 
 
 @dataclass
@@ -72,7 +78,7 @@ def nexmark_catalog() -> Catalog:
     ))
     c.register(Table(
         "side_input", ("key", "value"), unique_key="key",
-        functional_deps={"key": ("value",)},
+        functional_deps={"key": ("value",)}, hard_unique=True,
     ))
     return c
 
@@ -87,7 +93,7 @@ def ysb_catalog() -> Catalog:
     ))
     c.register(Table(
         "campaign", ("c_ad_id", "campaign_id"), unique_key="c_ad_id",
-        functional_deps={"c_ad_id": ("campaign_id",)},
+        functional_deps={"c_ad_id": ("campaign_id",)}, hard_unique=True,
     ))
     return c
 

@@ -41,6 +41,11 @@ class LoweredRel:
     plan: Node
     columns: list[str]
     unique_keys: set[str] = field(default_factory=set)
+    # STRUCTURALLY-guaranteed unique keys (catalog hard_unique facts and
+    # aggregate-output group keys): joins built on these declare
+    # unique_build, skipping the duplicate fan-out expansion buffer;
+    # soft unique_keys only nominate the build side
+    hard_unique_keys: set[str] = field(default_factory=set)
     single_row: bool = False
     functional_deps: dict[str, set[str]] = field(default_factory=dict)
     dictionaries: dict[str, list] = field(default_factory=dict)
@@ -148,6 +153,8 @@ class Lowerer:
             plan=Scan(t.name),
             columns=list(t.columns),
             unique_keys={t.unique_key} if t.unique_key else set(),
+            hard_unique_keys={t.unique_key}
+            if t.unique_key and t.hard_unique else set(),
             functional_deps={k: set(v) for k, v in t.functional_deps.items()},
             dictionaries=dict(t.dictionaries),
             timestamp_cols=set(t.timestamp_cols),
@@ -253,7 +260,9 @@ class Lowerer:
         plan = Join(build=build.plan, probe=probe.plan,
                     build_key=bk, probe_key=pk, take=take,
                     probe_s_loc=p_s_loc, build_s_loc=b_s_loc,
-                    take_limbs=take_limbs)
+                    take_limbs=take_limbs,
+                    unique_build=bk in build.hard_unique_keys
+                    or build.single_row)
         # materialize the build key under its own name as a zero-cost alias of
         # the probe key (they are equal on surviving rows), so downstream SQL
         # can reference either (q4 groups by a_id; the joined rows carry it as
@@ -379,6 +388,7 @@ class Lowerer:
             plan=proj,
             columns=[n for n, _ in projections],
             unique_keys=unique_out if len(keys) == 1 else set(),
+            hard_unique_keys=unique_out if len(keys) == 1 else set(),
             single_row=not keys,
             dictionaries={k: v for k, v in rel.dictionaries.items()},
             timestamp_cols=set(rel.timestamp_cols) | ts_out,

@@ -165,6 +165,14 @@ def test_sql_plans_carry_planner_statistics():
     assert jn.build_s_loc == K.S_LOC_DENSE_IDS
     assert dict(jn.take_limbs).get("category") == 1
 
+    # hard-uniqueness catalog facts reach the plan: q13's side-input join
+    # declares unique_build (no fan-out expansion buffer); q4's auction
+    # build stays soft (NEXMark id wraparound CAN duplicate a_id)
+    spec13 = sql_to_spec(NEXMARK_SQL[13], nexmark_catalog())
+    j13 = [n for n in walk(spec13.plan) if isinstance(n, Join)][0]
+    assert j13.unique_build
+    assert not jn.unique_build
+
     spec11 = sql_to_spec(
         "SELECT bidder, Count(*) AS bid_count FROM bid GROUP BY bidder;",
         nexmark_catalog())
