@@ -24,13 +24,15 @@ One jitted step per epoch:
   4. closed sessions compact into a small output buffer by cumsum rank + one
      binary search (no sort).
 
-Rows are consumed ONCE, the epoch they arrive; no chunks are retained, no
-label tables ship, and the per-session aggregates ARE the emission — the
-answer is the only thing that ever crosses the host boundary.  The host's
-per-epoch work is one dispatch plus a lagged overflow check (the flag of
-epoch t is fetched after t+1 is dispatched, so the check rides the device
-pipeline; on overflow the state rolls back one epoch and the step reruns
-with doubled buckets — the engine's standard guard-and-retry posture).
+Rows are consumed ONCE, the epoch they arrive; no row chunks are retained,
+no label tables ship, and the per-session aggregates ARE the emission — the
+answer is the only thing that ever crosses the host boundary.  Epochs fuse
+into ≤16-wide ``lax.scan`` chunks (one dispatch each; a relay-style control
+path admits ~one request per round-trip, so per-epoch dispatches cost ~RTT
+— measured round 5); the next chunk dispatches against the previous one's
+unconfirmed state while its overflow flags are fetched, and a flagged
+chunk rolls back to its retained start state and reruns with doubled
+buckets — the engine's standard guard-and-retry posture.
 """
 
 from __future__ import annotations
@@ -346,19 +348,26 @@ def _event_sec_range(tc) -> tuple:
     return (tmin // 1000, tmax // 1000)
 
 
-def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec):
+def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec,
+                        resume_ev_floor: int | None = None):
     """The StreamDriver session loop on the incremental device path.
 
-    Pipelined optimistic dispatch: later epochs dispatch against earlier
-    epochs' UNCONFIRMED states; overflow flags are fetched lazily in
-    BATCHES of up to ``CONFIRM_WINDOW`` epochs (one device_get for the
-    whole batch).  Through a high-latency control path a per-epoch flag
-    fetch costs a full round-trip (~25 ms tunnel RTT vs ~10 ms of device
-    work per epoch — measured round 5), so per-epoch confirmation made the
-    host the bottleneck; batching keeps the device queue fed back-to-back.
-    A flagged overflow rolls back to the OLDEST failed epoch's input state
-    (every unconfirmed epoch's input state is retained), doubles the
-    buckets, and reruns from there."""
+    Epochs group into chunks of ≤ SCAN_W (uniform capacity bucket and
+    closure gate) and each chunk runs as ONE ``session_scan`` dispatch;
+    chunk ci+1 dispatches OPTIMISTICALLY against ci's unconfirmed output
+    state while ci's overflow flags are fetched, and the flush dispatches
+    before the last chunk's confirm — through a high-latency control path
+    every fetch costs a full round-trip (~25 ms tunnel RTT), so both the
+    per-chunk fusion and the one-chunk confirm lag exist to keep the
+    device queue fed.  A flagged chunk rolls back to ITS start state
+    (retained for the ≤2 unconfirmed chunks), doubles the buckets, and
+    reruns from there.
+
+    ``resume_ev_floor`` seeds the closure gate's event floor when the
+    caller restored state via ``from_payloads`` (its returned ev_floor):
+    the gate's merge-only optimization is sound only while every open
+    session's last_s is ≥ the tracked floor."""
+    from flock_tpu.runtime.executor import _pow2_bucket
     from flock_tpu.runtime.stream import SessionState, WindowResult
 
     key, tcol = SessionState.key, SessionState.time_col
@@ -404,22 +413,16 @@ def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec):
     # chunks of ≤ SCAN_W — each chunk is ONE device dispatch
     SCAN_W = 16
     gates = []
-    mev = None
+    mev = resume_ev_floor
     for t in range(n_ep):
         mev, mc = closure_gate(mev, metas[t][4], metas[t][5],
                                metas[t][0], t, gap)
         gates.append(mc)
 
-    def _pow2(n):
-        c = 128
-        while c < n:
-            c *= 2
-        return c
-
     def epoch_cap(t):
         if prestaged is not None and prestaged[t] is not None:
             return prestaged[t].capacity
-        return _pow2(metas[t][0])
+        return max(_pow2_bucket(metas[t][0]), 128)
 
     chunks = []   # (t_start, [t...], C, may_close)
     t = first
@@ -445,45 +448,62 @@ def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec):
             b = driver.executor.stage_chunk(metas[t][3], capacity=C)
         return {c: b.columns[c] for c in need}, b.valid
 
-    ci = 0
-    while ci < len(chunks):
+    def dispatch(ci, st):
         t0, ts, C, mc = chunks[ci]
-        cols3 = {}
-        valids = []
         percols = [staged_cols(t, C) for t in ts]
-        for c in need:
-            cols3[c] = jnp.stack([pc[0][c] for pc in percols])
+        cols3 = {c: jnp.stack([pc[0][c] for pc in percols]) for c in need}
         valid2 = jnp.stack([pc[1] for pc in percols])
-        chunk_start = state
-        state, ocs, nes, ovfs = session_scan(
+        st2, ocs, nes, ovfs = session_scan(
             key, tcol, epoch_aggs, accs, SE, cap_out, fs.s_loc, mc,
-            np.int32(gap), np.int32(t0), np.int32(m),
-            chunk_start, cols3, valid2)
-        ovf_h, ne_h = jax.device_get((ovfs, nes))
-        if bool(np.asarray(ovf_h).any()):
-            retries += 1
-            if retries > 6:
-                raise RuntimeError("device session path: retry budget")
-            # grow every bucket (cheap relative to a wrong answer); the
-            # span grows by padding the live state (the old tail pad
-            # becomes part of the logical span — pad slots hold
-            # identities, i.e. valid never-opened sessions)
-            SE = SE * 2
-            cap_out = cap_out * 2
-            S2 = S * 2
-            state = grow(chunk_start, S2 + SE, accs)
-            S = S2
-            continue      # redo this chunk against the grown state
-        if mc:
-            for w, t in enumerate(ts):
-                n = int(np.asarray(ne_h)[w])
-                if n:
-                    results.append((t, {c: a[w] for c, a in ocs.items()}, n))
-        ci += 1
+            np.int32(gap), np.int32(t0), np.int32(m), st, cols3, valid2)
+        return st2, (ci, st, ocs, nes, ovfs)
 
     flush_cap = _bucket(max(kmax_all - m + 1, 1))
-    f_cols, f_valid, f_n = session_flush(
-        accs, flush_cap, np.int32(m), state)
+    ci = 0
+    inflight = None   # one unconfirmed chunk: (ci, start_state, ocs, ne, ovf)
+    flushed = None
+    while True:
+        if ci < len(chunks):
+            state, newly = dispatch(ci, state)
+            ci += 1
+        else:
+            newly = None
+            if flushed is None:
+                # the flush rides the device queue while the host blocks on
+                # the last chunk's flags (optimistic like everything else)
+                flushed = session_flush(accs, flush_cap, np.int32(m), state)
+        if inflight is not None:
+            fci, chunk_start, ocs, nes, ovfs = inflight
+            ovf_h, ne_h = jax.device_get((ovfs, nes))
+            if bool(np.asarray(ovf_h).any()):
+                retries += 1
+                if retries > 6:
+                    raise RuntimeError("device session path: retry budget")
+                # grow every bucket (cheap relative to a wrong answer); the
+                # span grows by padding the live state (the old tail pad
+                # becomes part of the logical span — pad slots hold
+                # identities, i.e. valid never-opened sessions); the chunk
+                # dispatched against this one's corrupt output is discarded
+                SE = SE * 2
+                cap_out = cap_out * 2
+                S2 = S * 2
+                state = grow(chunk_start, S2 + SE, accs)
+                S = S2
+                ci = fci
+                inflight = None
+                flushed = None
+                continue
+            if chunks[fci][3]:
+                for w, t in enumerate(chunks[fci][1]):
+                    n = int(np.asarray(ne_h)[w])
+                    if n:
+                        results.append(
+                            (t, {c: a[w] for c, a in ocs.items()}, n))
+        inflight = newly
+        if inflight is None and flushed is not None:
+            break
+
+    f_cols, _f_valid, f_n = flushed
     n = int(jax.device_get(f_n))
     if n:
         results.append((n_ep, f_cols, n))

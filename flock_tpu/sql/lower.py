@@ -487,6 +487,15 @@ class Lowerer:
         out.plan = Project(plan, exprs)
         out.columns = [n for n, _ in exprs]
         out.f64 = f64
+        # uniqueness facts follow COLUMNS, not names: an output name carries
+        # a key's (hard-)uniqueness only when it is a passthrough of that
+        # key (a projection that aliases some other column onto a
+        # hard-unique key's NAME must not inherit its unique_build license)
+        out.unique_keys = {n for n, src in exprs
+                           if isinstance(src, str) and src in rel.unique_keys}
+        out.hard_unique_keys = {
+            n for n, src in exprs
+            if isinstance(src, str) and src in rel.hard_unique_keys}
         return out
 
 

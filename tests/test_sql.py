@@ -179,3 +179,21 @@ def test_sql_plans_carry_planner_statistics():
     aggs = [n for n in walk(spec11.plan) if isinstance(n, Aggregate)
             and n.group_keys and "bidder" in n.group_keys]
     assert any(a.s_loc == K.S_LOC_PERSON_OVER_BID for a in aggs)
+
+
+def test_projection_uniqueness_follows_columns_not_names():
+    """A projection that aliases another column onto a hard-unique key's
+    NAME must not inherit its unique_build license (review finding: the
+    blanket LoweredRel copy kept side_input's hard_unique_keys={'key'}
+    while 'key' now carried the value column); a genuine RENAME of the key
+    keeps the fact under the new name."""
+    from flock_tpu.sql.catalog import nexmark_catalog
+    from flock_tpu.sql.lower import Lowerer
+    from flock_tpu.sql.parser import parse_sql
+
+    low = Lowerer(nexmark_catalog())
+    aliased = low.lower_select(parse_sql("SELECT value AS key FROM side_input"))
+    assert "key" not in aliased.hard_unique_keys
+    assert "key" not in aliased.unique_keys
+    renamed = low.lower_select(parse_sql("SELECT key AS k2 FROM side_input"))
+    assert "k2" in renamed.hard_unique_keys
