@@ -349,7 +349,7 @@ def _event_sec_range(tc) -> tuple:
 
 
 def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec,
-                        resume_ev_floor: int | None = None):
+                        resume_payloads=None, t_base: int = 0):
     """The StreamDriver session loop on the incremental device path.
 
     Epochs group into chunks of ≤ SCAN_W (uniform capacity bucket and
@@ -363,10 +363,15 @@ def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec,
     (retained for the ≤2 unconfirmed chunks), doubles the buckets, and
     reruns from there.
 
-    ``resume_ev_floor`` seeds the closure gate's event floor when the
-    caller restored state via ``from_payloads`` (its returned ev_floor):
-    the gate's merge-only optimization is sound only while every open
-    session's last_s is ≥ the tracked floor."""
+    ``resume_payloads`` (checkpoint payloads from ``to_payloads``) makes
+    the run a REPLACEMENT worker: the state base/span widen to cover the
+    restored keys, the open sessions scatter back in via ``from_payloads``,
+    and the closure gate's event floor seeds from the restored minimum
+    last-row second (the gate's merge-only optimization is sound only
+    while every open session's last_s is ≥ the tracked floor).
+    ``t_base`` is the ABSOLUTE stream epoch of ``epochs[0]`` — timeout
+    cutoffs are stream-absolute seconds, so a resumed run must keep
+    counting from where the stream is, not restart at zero."""
     from flock_tpu.runtime.executor import _pow2_bucket
     from flock_tpu.runtime.stream import SessionState, WindowResult
 
@@ -387,21 +392,40 @@ def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec,
                       int(k.max()) if len(k) else -1, bid,
                       *_event_sec_range(bid.get(tcol))))
 
+    resume_payloads = list(resume_payloads or [])
+    r_keys = np.concatenate(
+        [np.asarray(p.columns["__key"]) for p in resume_payloads]) \
+        if resume_payloads else np.empty(0, np.int64)
+
     n_ep = len(epochs)
     first = next((t for t in range(n_ep) if metas[t][0]), None)
     if first is None:
-        return []
+        if not len(r_keys):
+            return []
+        first = 0   # restored sessions still time out across empty epochs
     # the driver consumes the whole epoch list, so the state base and span
-    # come from the GLOBAL key range — a later epoch's key below the first
-    # epoch's min must not strand the base (growth cannot rebase downward)
-    m = min(mn for nn, mn, _mx, *_ in metas if nn)
-    kmax_all = max(mx for nn, _mn, mx, *_ in metas if nn)
+    # come from the GLOBAL key range (including restored keys) — a later
+    # epoch's key below the first epoch's min must not strand the base
+    # (growth cannot rebase downward)
+    kmins = [mn for nn, mn, _mx, *_ in metas if nn]
+    kmaxs = [mx for nn, _mn, mx, *_ in metas if nn]
+    if len(r_keys):
+        kmins.append(int(r_keys.min()))
+        kmaxs.append(int(r_keys.max()))
+    m = min(kmins)
+    kmax_all = max(kmaxs)
     S = _bucket(kmax_all - m + 1 + 8192)
-    SE = _bucket(max(max(mx - mn + 1 for nn, mn, mx, *_ in metas if nn), 1))
+    SE = _bucket(max(max((mx - mn + 1 for nn, mn, mx, *_ in metas if nn),
+                         default=1), 1))
     cap_out = 8192
     # buffers carry an SE-slot tail pad so the step's window merge never
     # clamps (see step_impl); logical key span stays [m, m+S)
-    state = init_state(S + SE, accs)
+    ev_floor = None
+    if resume_payloads:
+        state, _ep, ev_floor = from_payloads(resume_payloads, accs, m,
+                                             S + SE)
+    else:
+        state = init_state(S + SE, accs)
 
     results: list[WindowResult] = []
     retries = 0
@@ -413,10 +437,10 @@ def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec,
     # chunks of ≤ SCAN_W — each chunk is ONE device dispatch
     SCAN_W = 16
     gates = []
-    mev = resume_ev_floor
+    mev = ev_floor
     for t in range(n_ep):
         mev, mc = closure_gate(mev, metas[t][4], metas[t][5],
-                               metas[t][0], t, gap)
+                               metas[t][0], t_base + t, gap)
         gates.append(mc)
 
     def epoch_cap(t):
@@ -455,7 +479,8 @@ def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec,
         valid2 = jnp.stack([pc[1] for pc in percols])
         st2, ocs, nes, ovfs = session_scan(
             key, tcol, epoch_aggs, accs, SE, cap_out, fs.s_loc, mc,
-            np.int32(gap), np.int32(t0), np.int32(m), st, cols3, valid2)
+            np.int32(gap), np.int32(t_base + t0), np.int32(m),
+            st, cols3, valid2)
         return st2, (ci, st, ocs, nes, ovfs)
 
     flush_cap = _bucket(max(kmax_all - m + 1, 1))
@@ -498,7 +523,8 @@ def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec,
                     n = int(np.asarray(ne_h)[w])
                     if n:
                         results.append(
-                            (t, {c: a[w] for c, a in ocs.items()}, n))
+                            (t_base + t, {c: a[w] for c, a in ocs.items()},
+                             n))
         inflight = newly
         if inflight is None and flushed is not None:
             break
@@ -506,7 +532,7 @@ def run_device_sessions(driver, epochs, prestaged, fs: FastSessionSpec,
     f_cols, _f_valid, f_n = flushed
     n = int(jax.device_get(f_n))
     if n:
-        results.append((n_ep, f_cols, n))
+        results.append((t_base + n_ep, f_cols, n))
 
     return [_materialize(driver, fs, key, et, out_cols, n)
             for et, out_cols, n in results]

@@ -251,3 +251,66 @@ def test_device_session_empty_checkpoint_advances_watermark(tmp_path):
         [backend.read("devck2", 0, 0, s) for s in seqs], accs, 1000, 2048)
     assert ep == 9 and ev_floor is None
     assert not bool(np.asarray(st["open"]).any())
+
+
+def test_device_session_driver_level_resume(tmp_path):
+    """A REPLACEMENT driver resumes the device session tier end-to-end:
+    checkpoint payloads restore through run_device_sessions(resume_payloads=,
+    t_base=) — the state base/span widen over the restored keys, the closure
+    gate seeds from the restored event floor, and timeout cutoffs keep
+    counting stream-absolute epochs.  Union of pre-crash emissions and the
+    resumed driver's results is row-exact vs the uninterrupted generic run."""
+    from flock_tpu.queries.nexmark import get_query
+    from flock_tpu.runtime import device_session as ds
+    from flock_tpu.runtime.stream import StreamDriver
+
+    spec = get_query(11)
+    gap = spec.window[1]
+    epochs = generate_epochs(16, 200, 1)
+    want = _run_sessions(epochs)
+
+    key, tcol = SessionState.key, SessionState.time_col
+    fs = ds.session_fast_spec(spec, key, "bid")
+    epoch_aggs, accs = ds._acc_plan(fs, key, tcol)
+    from flock_tpu.batch import TS_BASE, Batch
+
+    # first half at the state layer (mirrors a worker that dies at t=8)
+    kmin = min(int(e["bid"][key].min()) for e in epochs if len(e["bid"][key]))
+    kmax = max(int(e["bid"][key].max()) for e in epochs if len(e["bid"][key]))
+    m, SE, split = kmin, 1024, 8
+    S_buf = ds._bucket(kmax - kmin + 1 + 1) + SE
+    state = ds.init_state(S_buf, accs)
+    rows = []
+    for t in range(split):
+        bid = {c: epochs[t]["bid"][c] for c in (key, tcol)}
+        b = Batch.from_numpy(dict(bid), max(len(bid[key]), 128))
+        state, oc, _ov, ne, ovf = ds.step_impl(
+            key, tcol, epoch_aggs, accs, SE, 1024, None, True,
+            np.int32(gap), np.int32(t + 1 - gap), np.int32(m),
+            state, dict(b.columns), b.valid)
+        assert not bool(ovf)
+        n = int(ne)
+        if n:
+            cols = {c: np.asarray(a)[:n] for c, a in oc.items()}
+            host = ds.finish_names(fs, key, cols)
+            rows += [(int(host["bidder"][i]), int(host["bid_count"][i]),
+                      int(host["start_time"][i]) + TS_BASE,
+                      int(host["end_time"][i]) + TS_BASE)
+                     for i in range(n)]
+    backend = FileStateBackend(root=str(tmp_path))
+    for p in ds.to_payloads(state, m, accs, "devck3", split):
+        backend.write(0, p)
+
+    # replacement driver: resumes THROUGH the driver loop
+    seqs = backend.list_seqs("devck3", 0, 0)
+    payloads = [backend.read("devck3", 0, 0, s) for s in seqs]
+    driver = StreamDriver(spec, 16)
+    res = ds.run_device_sessions(driver, epochs[split:], None, fs,
+                                 resume_payloads=payloads, t_base=split)
+    for r in res:
+        for i in range(len(r.columns["bidder"])):
+            rows.append((int(r.columns["bidder"][i]),
+                         int(r.columns["bid_count"][i]),
+                         int(r.columns["start_time"][i]),
+                         int(r.columns["end_time"][i])))
+    assert sorted(rows) == want and len(want) > 0
